@@ -1,0 +1,90 @@
+"""Cross-correlation and sync-pattern search.
+
+Behavioral references:
+  * `scipy.signal.correlate(h, n, mode='same')` as used for sync search
+    (ref decode_noaa.py:671,703-710; decode_funcube.py:252).
+  * The normalized correlator ``cor / sqrt(moving_energy * needle_energy)``
+    (ref decode_noaa.py:659-675).
+  * Needle builders: the repeated-bit sync trains (ref decode_noaa.py:690-694).
+
+All correlations are FFT-based on device (the needles run 560..113k samples;
+direct conv would waste MXU cycles at those lengths).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _fft_len(n: int) -> int:
+    """Next 5-smooth length >= n (TPU FFT is happiest at 2^a 3^b 5^c)."""
+    best = 1 << max(0, (n - 1)).bit_length()
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            x = p35
+            while x < n:
+                x *= 2
+            best = min(best, x)
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def fft_convolve_full(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Linear convolution (full) via FFT; complex-safe."""
+    n = x.shape[-1] + w.shape[-1] - 1
+    m = _fft_len(n)
+    cplx = jnp.iscomplexobj(x) or jnp.iscomplexobj(w)
+    if cplx:
+        X = jnp.fft.fft(x, n=m)
+        W = jnp.fft.fft(w, n=m)
+        return jnp.fft.ifft(X * W)[..., :n]
+    X = jnp.fft.rfft(x, n=m)
+    W = jnp.fft.rfft(w, n=m)
+    return jnp.fft.irfft(X * W, n=m)[..., :n]
+
+
+def convolve_same_fft(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """np.convolve(x, w, 'same') via FFT (for long kernels)."""
+    k = w.shape[-1]
+    full = fft_convolve_full(x, w)
+    start = (k - 1) // 2
+    return full[..., start:start + x.shape[-1]]
+
+
+def correlate_same(x: jnp.ndarray, needle: jnp.ndarray) -> jnp.ndarray:
+    """scipy.signal.correlate(x, needle, mode='same')."""
+    w = needle[::-1].conj() if jnp.iscomplexobj(needle) else needle[::-1]
+    # correlate 'same' centering differs from convolve 'same' when len is even:
+    # full index offset is (k-1)//2 for convolve but k//2 for correlate
+    k = needle.shape[-1]
+    full = fft_convolve_full(x, w)
+    start = (k - 1) // 2
+    return full[..., start:start + x.shape[-1]]
+
+
+def moving_energy(x: jnp.ndarray, wlen: int) -> jnp.ndarray:
+    """np.convolve(x*x, ones(wlen), 'same') (ref decode_noaa.py:672)."""
+    return convolve_same_fft(x * x, jnp.ones(wlen, dtype=x.dtype))
+
+
+def norm_correlate(haystack: jnp.ndarray, needle: jnp.ndarray) -> jnp.ndarray:
+    """Reference's normalized correlation (ref decode_noaa.py:659-675):
+    ``correlate(h, n, 'same') / sqrt(moving_energy(h) * sum(n^2))``."""
+    cor = correlate_same(haystack, needle)
+    sums = moving_energy(haystack, needle.shape[-1])
+    return cor / jnp.sqrt(sums * jnp.sum(needle * needle))
+
+
+def apt_needle(sync_bits, samp_rate: float, t_bit: float,
+               positive: bool = True) -> np.ndarray:
+    """Build the APT sync needle at `samp_rate` (ref decode_noaa.py:690-694):
+    each bit repeated round(samp_rate * t_bit) times; positive form maps
+    {0,1} -> {11,244}/255, signed form subtracts 0.5."""
+    rep = int(round(samp_rate * t_bit))
+    bits = np.repeat(np.asarray(sync_bits, dtype=np.float64), rep)
+    if positive:
+        return (bits * 233.0 + 11.0) / 255.0
+    return bits - 0.5

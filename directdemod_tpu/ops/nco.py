@@ -1,0 +1,70 @@
+"""Numerically-controlled oscillator (frequency shifting) for long streams.
+
+Behavioral reference: `comm.commSignal.offsetFreq` (ref comm.py:63-78):
+``x[n] *= exp(-2j*pi*f*(g0+n)/Fs)`` with ``g0`` the global index of the first
+sample (carried through the chunker KV store in the reference; here an explicit
+argument).
+
+TPU-first design: global indices reach 1e9+, so a single fp32 phase ramp loses
+~0.1 rad by the end of a 20M-sample block. We anchor the phase in fp64 on the
+host every `SUBBLOCK` samples (a handful of scalars per block) and let the
+device extend each anchor with a short local fp32 ramp, bounding the phase
+error at ~1e-4 rad regardless of stream position.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+SUBBLOCK = 8192
+
+
+def phase_anchors(freq: float, fs: float, start: int, n: int,
+                  sub: int = SUBBLOCK, dtype=np.float32) -> np.ndarray:
+    """Host fp64: phase (mod 2pi) at the start of each sub-block."""
+    nsub = -(-n // sub)
+    idx = start + sub * np.arange(nsub, dtype=np.float64)
+    ph = (-2.0 * np.pi * float(freq) / float(fs)) * idx
+    return np.mod(ph, 2.0 * np.pi).astype(dtype)
+
+
+def mix(x: jnp.ndarray, omega: float, anchors: jnp.ndarray,
+        sub: int = SUBBLOCK) -> jnp.ndarray:
+    """Device: multiply x by exp(j*(anchor_b + omega*r)) for local offset r.
+
+    `omega` is the per-sample phase increment -2*pi*f/fs (constant baked at
+    trace time); `anchors` come from `phase_anchors` and set the precision.
+    """
+    n = x.shape[0]
+    dt = anchors.dtype
+    ramp = jnp.asarray(omega, dtype=dt) * jnp.arange(sub, dtype=dt)
+    ph = anchors[:, None] + ramp[None, :]
+    osc = jnp.exp(1j * ph).reshape(-1)[:n]
+    return x * osc.astype(x.dtype)
+
+
+def mix_array_freq(x: jnp.ndarray, freqs: jnp.ndarray, fs: float,
+                   start: int = 0) -> jnp.ndarray:
+    """Per-sample frequency offsets (Doppler ramps), chunk-local indices.
+
+    Matches ref comm.py:77 with an array `freqOffset` and no chunker (the
+    funcube path constructs commSignal without a chunker, so n restarts at 0
+    each chunk -- ref decode_funcube.py:199,228). Phase is the *instantaneous*
+    frequency times absolute time, not an integrated phase, mirroring the
+    reference formula exactly.
+    """
+    n = x.shape[0]
+    base = jnp.asarray(freqs.reshape(-1)[0], dtype=jnp.float32)
+    delta = freqs.astype(jnp.float32) - base
+    idx_local = jnp.arange(n, dtype=jnp.float32)
+    # base-frequency part: sub-block anchored for accuracy
+    omega = -2.0 * np.pi * np.asarray(base, dtype=np.float64) / fs
+    nsub = -(-n // SUBBLOCK)
+    anchor_idx = (start + SUBBLOCK * jnp.arange(nsub, dtype=jnp.float64 if False else jnp.float32))
+    # anchors computed in fp32 here are fine because start is chunk-local (<= 2e7)
+    anchors = jnp.mod(jnp.float32(omega) * anchor_idx, 2.0 * np.pi)
+    ramp = jnp.float32(omega) * jnp.arange(SUBBLOCK, dtype=jnp.float32)
+    ph_base = (anchors[:, None] + ramp[None, :]).reshape(-1)[:n]
+    ph_delta = (-2.0 * np.pi / fs) * delta * (idx_local + jnp.float32(start))
+    osc = jnp.exp(1j * (ph_base + ph_delta)).astype(x.dtype)
+    return x * osc

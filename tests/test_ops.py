@@ -1,0 +1,172 @@
+"""Device DSP ops vs SciPy golden values (fp64 exactness + fp32 SNR)."""
+import numpy as np
+import pytest
+import scipy.signal as ss
+import jax.numpy as jnp
+
+from directdemod_tpu.ops import am, correlate as C, design, fir, fm, iir, nco, resample
+from directdemod_tpu import constants as K
+
+
+def _cplx(rng, n):
+    return rng.standard_normal(n) + 1j * rng.standard_normal(n)
+
+
+class TestFir:
+    def test_stateful_chunked_matches_lfilter(self, rng):
+        b = ss.windows.blackmanharris(151)
+        x = _cplx(rng, 5000)
+        zi = ss.lfilter_zi(b, [1.0]).astype(complex)
+        y1, zf = ss.lfilter(b, [1.0], x[:2000], zi=zi)
+        y2, _ = ss.lfilter(b, [1.0], x[2000:], zi=zf)
+        ref = np.concatenate([y1, y2])
+        h = fir.ones_history(151, jnp.complex128)
+        a1, h2 = fir.fir_apply(jnp.array(x[:2000]), jnp.array(b), h)
+        a2, _ = fir.fir_apply(jnp.array(x[2000:]), jnp.array(b), h2)
+        assert np.max(np.abs(np.concatenate([np.array(a1), np.array(a2)]) - ref)) < 1e-12
+
+    @pytest.mark.parametrize("off", [0, 17])
+    def test_decimate_fused_equals_stride_pick(self, rng, off):
+        b = ss.windows.blackmanharris(151)
+        x = _cplx(rng, 5000)
+        full, _ = fir.fir_apply(jnp.array(x), jnp.array(b), fir.ones_history(151, jnp.complex128))
+        out_len = resample.decim_count(5000, off, 34)
+        dec, _ = fir.fir_decimate(jnp.array(x), jnp.array(b),
+                                  fir.ones_history(151, jnp.complex128), off, out_len, 34)
+        assert np.array_equal(np.array(dec), np.array(full)[off::34])
+
+    def test_zero_phase_matches_filtfilt(self, rng):
+        b = ss.windows.blackmanharris(151)
+        x = rng.standard_normal(5000)
+        assert np.max(np.abs(np.array(fir.fir_zero_phase(jnp.array(x), b))
+                             - ss.filtfilt(b, [1.0], x))) < 1e-10
+
+    @pytest.mark.parametrize("k", [5, 6, 151, 560])
+    def test_convolve_same(self, rng, k):
+        x, w = rng.standard_normal(3000), rng.standard_normal(k)
+        assert np.max(np.abs(np.array(fir.convolve_same(jnp.array(x), jnp.array(w)))
+                             - np.convolve(x, w, mode="same"))) < 1e-11
+
+
+class TestIir:
+    def test_butter_lp_complex_chunked(self, rng):
+        f = iir.IirFilter.design_butter(2048000, 7000, order=6, kind="lowpass", block=1024)
+        b, a = f.ba()
+        x = _cplx(rng, 50000)
+        zi = ss.lfilter_zi(b, a).astype(complex)
+        y1, zf = ss.lfilter(b, a, x[:23000], zi=zi)
+        y2, _ = ss.lfilter(b, a, x[23000:], zi=zf)
+        ref = np.concatenate([y1, y2])
+        z = f.initial_state_step(jnp.complex128)
+        o1, z2 = f.apply(jnp.array(x[:23000]), z)
+        o2, _ = f.apply(jnp.array(x[23000:]), z2)
+        ours = np.concatenate([np.array(o1), np.array(o2)])
+        # flat-form lfilter is itself ill-conditioned at this wn; bound rel err
+        assert np.max(np.abs(ours - ref)) / np.max(np.abs(ref)) < 1e-4
+
+    def test_butter_bp_real(self, rng):
+        f = iir.IirFilter.design_butter(22050, 700, 2700, order=6, kind="bandpass", block=512)
+        b, a = f.ba()
+        x = rng.standard_normal(30000)
+        ref, _ = ss.lfilter(b, a, x, zi=ss.lfilter_zi(b, a))
+        o, _ = f.apply(jnp.array(x), f.initial_state_step(jnp.float64))
+        assert np.max(np.abs(np.array(o) - ref)) < 1e-6
+
+    def test_zero_phase_matches_filtfilt(self, rng):
+        f = iir.IirFilter.design_butter(60235, 400, 4400, order=6, kind="bandpass", block=2048)
+        b, a = f.ba()
+        x = rng.standard_normal(60000)
+        ref = ss.filtfilt(b, a, x)
+        o = np.array(f.zero_phase(jnp.array(x)))
+        assert np.max(np.abs(o - ref)) / np.max(np.abs(ref)) < 1e-3
+
+
+class TestFm:
+    def test_quad_demod_chunked(self, rng):
+        x = _cplx(rng, 4000)
+        ref = np.angle(x[1:] * np.conj(x[:-1]))
+        y1, l1 = fm.quad_demod(jnp.array(x[:1500]), None)
+        y2, _ = fm.quad_demod(jnp.array(x[1500:]), l1)
+        assert np.max(np.abs(np.concatenate([np.array(y1), np.array(y2)]) - ref)) < 1e-12
+
+    def test_angle_diff_chunked(self, rng):
+        x = _cplx(rng, 4000)
+        ref = np.diff(np.unwrap(np.angle(x)))
+        y1, a1 = fm.angle_diff_demod(jnp.array(x[:1500]), None)
+        y2, _ = fm.angle_diff_demod(jnp.array(x[1500:]), a1)
+        assert np.max(np.abs(np.concatenate([np.array(y1), np.array(y2)]) - ref)) < 1e-12
+
+
+class TestAm:
+    @pytest.mark.parametrize("n", [2400, 2401])
+    def test_envelope(self, rng, n):
+        x = rng.standard_normal(n)
+        assert np.max(np.abs(np.array(am.envelope(jnp.array(x)))
+                             - np.abs(ss.hilbert(x)))) < 1e-12
+
+    def test_envelope_blocked_matches_reference_chunking(self, rng):
+        x = rng.standard_normal(10000)
+        ref = np.concatenate([np.abs(ss.hilbert(x[i:i + 2400]))
+                              for i in range(0, 10000, 2400)])
+        assert np.max(np.abs(np.array(am.envelope_blocked(jnp.array(x), 2400)) - ref)) < 1e-12
+
+
+class TestResample:
+    @pytest.mark.parametrize("n,num", [(1000, 640), (1000, 641), (1001, 640),
+                                       (999, 1501), (1000, 1500), (15058, 14560)])
+    def test_matches_scipy(self, rng, n, num):
+        x = rng.standard_normal(n)
+        assert np.max(np.abs(np.array(resample.fft_resample(jnp.array(x), num))
+                             - ss.resample(x, num))) < 1e-12
+        xc = _cplx(rng, n)
+        assert np.max(np.abs(np.array(resample.fft_resample(jnp.array(xc), num))
+                             - ss.resample(xc, num))) < 1e-12
+
+    def test_decim_phase_closed_form(self):
+        """Closed form == the reference's chained carry (ref comm.py:122-125)."""
+        J = 34
+        lens = [200000, 200000, 123457]
+        off_chain, start = 0, 0
+        for ln in lens:
+            assert resample.decim_phase(start, J) == off_chain
+            off_chain = (J - (ln - off_chain) % J) % J
+            start += ln
+
+
+class TestCorrelate:
+    @pytest.mark.parametrize("k", [18, 559, 560])
+    def test_correlate_same(self, rng, k):
+        x, w = rng.standard_normal(5000), rng.standard_normal(k)
+        assert np.max(np.abs(np.array(C.correlate_same(jnp.array(x), jnp.array(w)))
+                             - ss.correlate(x, w, mode="same"))) < 1e-11
+
+    def test_norm_correlate_formula(self, rng):
+        """ref decode_noaa.py:659-675."""
+        x = rng.standard_normal(5000)
+        needle = C.apt_needle(K.NOAA_SYNCA, 60235, K.NOAA_T, True)
+        assert len(needle) == 40 * round(60235 * K.NOAA_T)
+        cor = ss.correlate(x, needle, mode="same")
+        sums = np.convolve(x * x, [1] * len(needle), mode="same")
+        ref = cor / (sums * np.sum(needle * needle)) ** 0.5
+        ours = np.array(C.norm_correlate(jnp.array(x), jnp.array(needle)))
+        assert np.max(np.abs(ref - ours)) < 1e-10
+
+
+class TestNco:
+    def test_long_stream_phase(self, rng):
+        fs, f, start, n = 2048000, 30000, 123456789, 40000
+        x = _cplx(rng, n)
+        ref = x * np.exp(-1j * 2 * np.pi * f * np.arange(start, start + n) / fs)
+        anc = nco.phase_anchors(f, fs, start, n, dtype=np.float64)
+        ours = np.array(nco.mix(jnp.array(x), -2 * np.pi * f / fs, jnp.array(anc)))
+        assert np.max(np.abs(ours - ref)) < 1e-7
+
+    def test_fp32_anchored_accuracy(self, rng):
+        fs, f, start, n = 2048000, 30000, 2_000_000_000, 40000
+        x = _cplx(rng, n).astype(np.complex64)
+        ref = x * np.exp(-1j * 2 * np.pi * f * np.arange(start, start + n) / fs)
+        anc = nco.phase_anchors(f, fs, start, n, dtype=np.float32)
+        ours = np.array(nco.mix(jnp.array(x), np.float32(-2 * np.pi * f / fs),
+                                jnp.array(anc)))
+        err = np.abs(ours - ref)
+        assert np.max(err) < 2e-3  # ~ -60 dB even at sample index 2e9
