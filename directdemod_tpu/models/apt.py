@@ -1,0 +1,269 @@
+"""APT image-line assembly and radiometric calibration.
+
+Behavioral reference: the image stage of `decode_noaa.getImage`
+(ref decode_noaa.py:255-508): sync filling, per-line Fourier resample to a
+multiple of 1040 pixels, median pixel estimation, the 8-step calibration-wedge
+state machine (slope/intercept via linear regression), telemetry channel-ID
+readout, and uint8 quantization with a backup image when calibration never
+locks.
+
+TPU split: per-line resample+median is the bulk work -- lines are grouped by
+length and batched through one FFT resample per group on device. The
+calibration walk is O(lines) host work by construction (FIFO medians over a
+few hundred scalars per line).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..ops import resample as rs
+
+
+# ------------------------------------------------------------------ sync filling
+
+def fill_syncs(csync, max_len) -> list:
+    """Filter outlier syncs and synthesize missed ones (ref
+    decode_noaa.py:467-508): keep pairs spaced within 200 samples of the modal
+    spacing, then extend backward from the first valid sync and forward from
+    each anchor."""
+    csync = list(csync)
+    diffs = np.diff(csync)
+    vals, counts = np.unique(diffs, return_counts=True)
+    mode = vals[np.argmax(counts)]
+    wiggle = 200
+
+    valid: list = []
+    for i in range(len(csync) - 1):
+        if abs(csync[i + 1] - csync[i] - mode) < wiggle:
+            if csync[i] not in valid:
+                valid.append(csync[i])
+            if csync[i + 1] not in valid:
+                valid.append(csync[i + 1])
+    corrected = valid[:]
+
+    c = valid[0] - mode
+    while c > wiggle:
+        corrected.append(c)
+        c -= mode
+
+    anchor, c = 0, mode
+    while valid[anchor] + c < max_len:
+        nxt_exists = (anchor + 1) < len(valid)
+        if nxt_exists and (abs(valid[anchor + 1] - c - valid[anchor]) < wiggle
+                           or c + valid[anchor] > valid[anchor + 1]):
+            anchor += 1
+            c = mode
+        else:
+            corrected.append(valid[anchor] + c)
+            c += mode
+    return list(np.sort(corrected))
+
+
+# ------------------------------------------------------------------ batched resample
+
+def _resample_lines_batched(am: np.ndarray, spans: list, unit: int):
+    """For each (start, end) span, Fourier-resample am[start:end] to
+    (len//unit)*unit samples and reshape to (unit, k) -- the reference's
+    per-line `signal.resample` + reshape (ref decode_noaa.py:350-354) batched
+    by identical length on device. Returns {line_index: (unit, k) ndarray}."""
+    groups: dict[int, list] = {}
+    for li, (s, e) in enumerate(spans):
+        groups.setdefault(e - s, []).append(li)
+    out: dict[int, np.ndarray] = {}
+    for ln, members in groups.items():
+        k = ln // unit
+        if k == 0:
+            for li in members:
+                out[li] = np.zeros((unit, 0))
+            continue
+        num = k * unit
+        batch = np.stack([am[spans[li][0]:spans[li][1]] for li in members])
+        resz = np.asarray(rs.fft_resample(jnp.asarray(batch), num))
+        for row, li in enumerate(members):
+            out[li] = resz[row].reshape(unit, k)
+    return out
+
+
+# ------------------------------------------------------------------ calibration
+
+@dataclass
+class _Calib:
+    """Calibration-wedge state machine (ref decode_noaa.py:315-425)."""
+    low: float
+    high: float
+    fifo_len: int = K.NOAA_COLORCORRECT_FIFOLEN
+    low_fifo: list = field(default_factory=list)
+    high_fifo: list = field(default_factory=list)
+    corr_pix: list = field(default_factory=list)
+    corr_sig: list = field(default_factory=list)
+    corr_sig2: list = field(default_factory=list)
+    chid1: list = field(default_factory=list)
+    chid2: list = field(default_factory=list)
+    last_pix: float | None = None
+    last_sig: float | None = None
+    state: int = 0
+    wedge_pix: list = field(default_factory=list)
+    wedge_sig: list = field(default_factory=list)
+    slope: float | None = None
+    intercept: float | None = None
+    ch_id_a: int | None = None
+    ch_id_b: int | None = None
+
+    def update_from_sync_train(self, line_matrix: np.ndarray) -> None:
+        """Re-estimate low/high from the known sync-train bits of a detected
+        (not synthesized) line (ref decode_noaa.py:357-369)."""
+        for j, bit in enumerate(K.NOAA_SYNCA):
+            vals = line_matrix[j]
+            (self.low_fifo if bit == 0 else self.high_fifo).extend(vals)
+            self.low_fifo = self.low_fifo[-self.fifo_len:]
+            self.high_fifo = self.high_fifo[-self.fifo_len:]
+        v11 = float(np.median(self.low_fifo))
+        v244 = float(np.median(self.high_fifo))
+        span = (v244 - v11) / (244.0 - 11.0)
+        self.low = v11 - span * (11.0 - 0.0)
+        self.high = v11 - span * (11.0 - 255.0)
+
+    def step_wedge(self, strip_a: float, strip_b: float) -> None:
+        """One line of the wedge detector (ref decode_noaa.py:371-425).
+        strip_a/strip_b are the pre-sync telemetry-strip medians."""
+        self.corr_pix.append(255.0 * (strip_a - self.low) / (self.high - self.low))
+        self.corr_pix = self.corr_pix[-3:]
+        out_pix = float(np.median(self.corr_pix))
+        self.corr_sig.append(strip_a)
+        self.corr_sig = self.corr_sig[-3:]
+        out_sig = float(np.median(self.corr_sig))
+        self.corr_sig2.append(strip_b)
+        self.corr_sig2 = self.corr_sig2[-3:]
+        out_sig2 = float(np.median(self.corr_sig2))
+
+        self.chid1.append(out_sig2)
+        self.chid1 = self.chid1[-100:]
+        self.chid2.append(out_sig)
+        self.chid2 = self.chid2[-100:]
+
+        if self.last_pix is None or abs(out_pix - self.last_pix) > 255.0 / 16:
+            if self.state == 0 and self.last_sig is not None:
+                self.wedge_pix = [self.last_pix, out_pix]
+                self.wedge_sig = [self.last_sig, out_sig]
+                self.state = 1
+            elif 1 <= self.state <= 6:
+                if out_pix - self.wedge_pix[-1] > 2 * 255.0 / (8 * 3):
+                    self.wedge_pix.append(out_pix)
+                    self.wedge_sig.append(out_sig)
+                    self.state += 1
+                else:
+                    self.state = 0
+            elif self.state == 7:
+                if self.wedge_pix[-1] - out_pix > 2 * 255.0 / 3:
+                    self.wedge_sig = [out_sig] + self.wedge_sig
+                    targets = np.arange(9) * 255.0 / 8
+                    self.slope, self.intercept = _linregress(
+                        np.asarray(self.wedge_sig), targets)
+                    if len(self.chid1) > 1 + 64 + 8:
+                        self.ch_id_a = int(np.round(
+                            (self.slope * np.median(self.chid1[-1 - 64 - 8:-1 - 64])
+                             + self.intercept) / (255.0 / 8)))
+                        self.ch_id_b = int(np.round(
+                            (self.slope * np.median(self.chid2[-1 - 64 - 8:-1 - 64])
+                             + self.intercept) / (255.0 / 8)))
+                    self.chid1, self.chid2 = [], []
+                self.state = 0
+        self.last_pix = out_pix
+        self.last_sig = out_sig
+
+
+def _linregress(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Least-squares slope/intercept (the subset of scipy.stats.linregress
+    used at ref decode_noaa.py:413)."""
+    mx, my = np.mean(x), np.mean(y)
+    dx = x - mx
+    slope = float(np.dot(dx, y - my) / np.dot(dx, dx))
+    return slope, float(my - slope * mx)
+
+
+def _quantize(line: np.ndarray, scale: float, offset: float) -> np.ndarray:
+    q = np.round(line * scale + offset)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ assembly
+
+def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
+                   ucsync: np.ndarray) -> tuple[np.ndarray, int | None, int | None]:
+    """Build the calibrated APT image from the AM envelope and filled syncs
+    (ref decode_noaa.py:305-461). Returns (image, channel_id_a, channel_id_b).
+    """
+    num_pixels = int(0.5 / K.NOAA_T)           # 2080 px per full line
+    half = int(num_pixels * 0.5)               # 1040 per channel
+
+    # initial contrast from a coarse whole-signal median line
+    # (ref decode_noaa.py:309-313)
+    probe = am[: (len(am) // num_pixels) * num_pixels]
+    probe = probe.reshape(num_pixels, -1)
+    probe = np.median(probe, axis=-1)
+    low, high = np.percentile(probe, (0.5, 99.5))
+
+    # per-line spans
+    n_lines = len(csync_a)
+    spans_a, spans_b, keep = [], [], []
+    for i in range(n_lines):
+        sa, sb = int(csync_a[i]), int(csync_b[i])
+        ea = sb
+        eb = sb + int(0.25 * rate)
+        if i + 1 < n_lines:
+            eb = int(csync_a[i + 1])
+        if eb > len(am) or ea > len(am) or sa < 0 or sb < 0:
+            continue
+        keep.append(i)
+        spans_a.append((sa, ea))
+        spans_b.append((sb, eb))
+
+    mats_a = _resample_lines_batched(am, spans_a, half)
+    mats_b = _resample_lines_batched(am, spans_b, half)
+
+    calib = _Calib(low=float(low), high=float(high))
+    strip_len = int(len(K.NOAA_SYNCA) * K.NOAA_T * rate)
+
+    image: list = []
+    backup: list = []
+    buffered: list = []
+    ucset = set(float(u) for u in ucsync)
+
+    for li, i in enumerate(keep):
+        mat_a, mat_b = mats_a[li], mats_b[li]
+        sa, sb = spans_a[li][0], spans_b[li][0]
+
+        if float(csync_a[i]) in ucset and mat_a.shape[1] > 0:
+            calib.update_from_sync_train(mat_a)
+
+        strip_a = float(np.median(am[max(sa - strip_len, 0):sa])) if sa > 0 else 0.0
+        strip_b = float(np.median(am[max(sb - strip_len, 0):sb])) if sb > 0 else 0.0
+        calib.step_wedge(strip_a, strip_b)
+
+        line = np.concatenate([np.median(mat_a, axis=-1) if mat_a.size else np.empty(0),
+                               np.median(mat_b, axis=-1) if mat_b.size else np.empty(0)])
+
+        if calib.slope is None or calib.intercept is None:
+            buffered.append(line.copy())
+            backup.append(_quantize(line, 255.0 / (calib.high - calib.low),
+                                    -255.0 * calib.low / (calib.high - calib.low)))
+        else:
+            if buffered:
+                for b in buffered:
+                    image.append(_quantize(b, calib.slope, calib.intercept))
+                buffered = []
+            image.append(_quantize(line, calib.slope, calib.intercept))
+
+    if not image:
+        image = backup                         # ref decode_noaa.py:454-456
+
+    lens = [len(r) for r in image]
+    if not lens:
+        return np.zeros((0, num_pixels), dtype=np.uint8), None, None
+    accepted = max(set(lens), key=lens.count)
+    img = np.asarray([r for r in image if len(r) == accepted])
+    return img, calib.ch_id_a, calib.ch_id_b

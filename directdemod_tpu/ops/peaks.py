@@ -1,0 +1,161 @@
+"""Peak detection and grouping for sync search.
+
+Behavioral references:
+  * APT sync peak selection (ref decode_noaa.py:712-751): top-k based adaptive
+    threshold, then min-distance grouping keeping the max of each group.
+  * `peakdetect` lookahead max/min alternation (ref peakdetect.py:141-254,
+    the vendored billauer algorithm; only this entry point is used in-tree,
+    by decode_afsk1200.py:170).
+
+Device does the dense work (correlation, thresholds, rolling-window maxima);
+the inherently sequential grouping walks run on the host over the *sparse*
+candidate lists, which are thousands of elements, not tens of millions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def adaptive_threshold(cor: jnp.ndarray, samp_rate: float,
+                       wiggle: float) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference's peak-height floor (ref decode_noaa.py:713-723):
+    mean of the top-k values, pulled down by `wiggle` times the top-to-bottom
+    spread, with k = int(2 * duration_seconds) + 2. Returns (threshold, k)."""
+    n = cor.shape[0]
+    k = int(2 * (n / samp_rate)) + 2
+    top = lax.top_k(cor, k)[0]
+    bot = -lax.top_k(-cor, k)[0]
+    avg_top = jnp.sum(top) / k
+    avg_bot = jnp.sum(bot) / k
+    return avg_top - wiggle * (avg_top - avg_bot), k
+
+
+def candidates_above(cor: jnp.ndarray, threshold: jnp.ndarray,
+                     cap: int = 1 << 18) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side (index, value) pairs where cor > threshold, in index order.
+
+    The mask reduction runs on device; indices come back compacted to at most
+    `cap` entries (a 2-per-second sync signal leaves candidates sparse)."""
+    n = cor.shape[0]
+    cap = min(cap, n)
+    idx = jnp.nonzero(cor > threshold, size=cap, fill_value=-1)[0]
+    idx_np = np.asarray(idx)
+    idx_np = idx_np[idx_np >= 0]
+    vals = np.asarray(cor[jnp.asarray(idx_np)]) if len(idx_np) else np.empty(0)
+    return idx_np, vals
+
+
+def group_peaks(indices: np.ndarray, values: np.ndarray,
+                min_dist: float) -> np.ndarray:
+    """Min-distance grouping keeping the maximum of each run
+    (ref decode_noaa.py:731-746). Host walk over the sparse candidate list."""
+    best_idx = None
+    best_val = None
+    out = []
+    for i, v in zip(indices, values):
+        if best_idx is not None and (i - best_idx) >= min_dist:
+            out.append(best_idx)
+            best_idx, best_val = None, None
+        if best_val is None or best_val < v:
+            best_idx, best_val = i, v
+    out.append(best_idx)
+    return np.sort(np.asarray([o for o in out if o is not None]))
+
+
+def find_sync_peaks(cor: jnp.ndarray, samp_rate: float, needle_len: int,
+                    wiggle: float, min_dist_s: float) -> np.ndarray:
+    """Full APT peak pipeline; returns sync *start* indices
+    (peak centers shifted back by needle_len//2, ref decode_noaa.py:749)."""
+    thr, _ = adaptive_threshold(cor, samp_rate, wiggle)
+    idx, vals = candidates_above(cor, thr)
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.int64)
+    peaks = group_peaks(idx, vals, min_dist_s * samp_rate)
+    return np.sort(peaks - needle_len // 2)
+
+
+# --------------------------------------------------------------------- lookahead peaks
+
+@jax.jit
+def _lookahead_scan(y, fwd_max, fwd_min, delta):
+    """Exact device replay of the alternating max/min walk
+    (ref peakdetect.py:196-241). Emits per-index fire events."""
+    idx = jnp.arange(y.shape[0], dtype=jnp.int32)
+
+    def body(carry, inp):
+        mx, mn, mxpos, mnpos = carry
+        yi, fmax, fmin, i = inp
+        upd_mx = yi > mx
+        mx = jnp.where(upd_mx, yi, mx)
+        mxpos = jnp.where(upd_mx, i, mxpos)
+        upd_mn = yi < mn
+        mn = jnp.where(upd_mn, yi, mn)
+        mnpos = jnp.where(upd_mn, i, mnpos)
+
+        fire_max = (yi < mx - delta) & jnp.isfinite(mx) & (fmax < mx)
+        # on a max fire the reference `continue`s past the min branch
+        fire_min = (~fire_max) & (yi > mn + delta) & jnp.isfinite(mn) & (fmin > mn)
+
+        out = (fire_max, mxpos, mx, fire_min, mnpos, mn)
+        mx2 = jnp.where(fire_max, jnp.inf, jnp.where(fire_min, -jnp.inf, mx))
+        mn2 = jnp.where(fire_max, jnp.inf, jnp.where(fire_min, -jnp.inf, mn))
+        return (mx2, mn2, mxpos, mnpos), out
+
+    init = (jnp.float32(-jnp.inf).astype(y.dtype),
+            jnp.float32(jnp.inf).astype(y.dtype),
+            jnp.int32(0), jnp.int32(0))
+    _, outs = lax.scan(body, init, (y, fwd_max, fwd_min, idx))
+    return outs
+
+
+def _forward_window_extrema(y: jnp.ndarray, w: int):
+    """fwd_max[i] = max(y[i:i+w]), fwd_min[i] = min(y[i:i+w]) for the valid
+    range i < len(y)-w+1 (the walk never consults beyond it)."""
+    mx = lax.reduce_window(y, -jnp.inf, lax.max, (w,), (1,), "VALID")
+    mn = lax.reduce_window(y, jnp.inf, lax.min, (w,), (1,), "VALID")
+    return mx, mn
+
+
+def lookahead_peaks(y, lookahead: int, delta: float = 0.0
+                    ) -> tuple[list, list]:
+    """Alternating max/min peak picking with lookahead confirmation, matching
+    `peakdetect` (ref peakdetect.py:141-254; the only variant used in-tree,
+    by decode_afsk1200.py:170). Returns (max_peaks, min_peaks) as
+    [index, value] pairs.
+
+    The walk runs as a `lax.scan` with precomputed rolling-window extrema;
+    fire events compact on the host, including the first-hit pop and the
+    end-of-signal break semantics.
+    """
+    y = jnp.asarray(y)
+    n = y.shape[0]
+    if lookahead < 1:
+        raise ValueError("lookahead must be >= 1")
+    if n <= lookahead:
+        return [], []
+    fwd_max, fwd_min = _forward_window_extrema(y, lookahead)
+    limit = n - lookahead          # reference iterates y[:-lookahead]
+    outs = _lookahead_scan(y[:limit], fwd_max[:limit], fwd_min[:limit],
+                           jnp.asarray(delta, dtype=y.dtype))
+    f_max, mxpos, mxval, f_min, mnpos, mnval = (np.asarray(o) for o in outs)
+
+    events = []
+    for i in np.flatnonzero(f_max | f_min):
+        if f_max[i]:
+            events.append((i, True, int(mxpos[i]), float(mxval[i])))
+        else:
+            events.append((i, False, int(mnpos[i]), float(mnval[i])))
+        if i + lookahead >= n:      # reference breaks after this append
+            break
+
+    max_peaks = [[p, v] for (_, is_max, p, v) in events if is_max]
+    min_peaks = [[p, v] for (_, is_max, p, v) in events if not is_max]
+    if events:
+        if events[0][1]:
+            max_peaks.pop(0)
+        else:
+            min_peaks.pop(0)
+    return max_peaks, min_peaks

@@ -1,0 +1,77 @@
+"""End-to-end NOAA APT decode of a synthesized capture."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from directdemod_tpu.io.sources import ArraySource
+from directdemod_tpu.models.noaa import NoaaDecoder
+from tests.apt_synth import synthesize, FS
+
+
+@pytest.fixture(scope="module")
+def decoded():
+    iq, truth = synthesize(n_lines=12, snr_db=20)
+    src = ArraySource(iq, FS)
+    dec = NoaaDecoder(src, 30000, dtype=jnp.complex64)
+    return dec, truth
+
+
+def test_useful_and_sync_spacing(decoded):
+    dec, _ = decoded
+    assert dec.useful == 1
+    sa, sb = dec.get_crude_sync()
+    assert len(sa) >= 11 and len(sb) >= 11
+    # 0.5 s spacing at the emergent 60235 Hz rate
+    da = np.diff(sa)
+    assert np.all(np.abs(da - 0.5 * 60235) < 5)
+    # B syncs sit ~0.25 s after A syncs
+    off = sb[0] - sa[np.searchsorted(sa, sb[0]) - 1]
+    assert abs(off - 0.25 * 60235) < 30
+
+
+def test_image_dimensions_and_content(decoded):
+    dec, truth = decoded
+    img = dec.get_image()
+    assert img.shape[1] == 2080
+    assert img.shape[0] >= 10
+    # each decoded line's A-channel should correlate strongly with the
+    # ground-truth gradient (alignment may shift by a couple of words)
+    gt = truth[0][40:1040]
+    cors = []
+    for r in range(img.shape[0]):
+        row = img[r, :1040].astype(np.float64)
+        c = np.corrcoef(row[60:1000], gt[60 - 40 + 40:1000])[0, 1]
+        cors.append(c)
+    assert np.median(cors) > 0.9, cors
+
+
+def test_image_a_b_split(decoded):
+    dec, _ = decoded
+    assert dec.image_a.shape[1] == 1040
+    assert dec.image_b.shape[1] == 1040
+
+
+def test_false_color_shape(decoded):
+    dec, _ = decoded
+    color = dec.get_color()
+    assert color.shape == (dec.image_a.shape[0], 1040, 3)
+    assert color.dtype == np.uint8
+
+
+def test_audio_strict_rate(decoded):
+    dec, _ = decoded
+    audio, rate = dec.get_audio()
+    assert rate == 20800
+    # duration within 1% of the capture
+    assert abs(len(audio) / rate - dec.src.length / FS) < 0.05
+
+
+def test_accurate_sync(decoded):
+    dec, _ = decoded
+    out = dec.get_accurate_sync(use_norm_correlate=True)
+    da, dda, qa, ta, db, ddb, qb, tb = out
+    assert len(da) >= 10
+    # accurate syncs spaced 0.5 s at full rate
+    assert np.all(np.abs(np.asarray(dda) - 0.5 * FS) < 300)
+    # quality values are normalized correlations
+    assert np.all(np.asarray(qa) > 0.3)
