@@ -1,0 +1,236 @@
+"""AFSK1200 / APRS (AX.25) decoder.
+
+Behavioral reference: `decode_afsk1200` (ref decode_afsk1200.py:15-405):
+FM front-end -> Butterworth bandpass 700-2700 -> mark/space quadrature
+correlator bank -> edge detection -> lookahead peak bit sync -> NRZI decode ->
+flag scan -> bit unstuffing -> CRC-16 check -> AX.25 header/payload parse.
+
+TPU design: the reference's O(N*18) nested Python correlator loop
+(ref decode_afsk1200.py:129-142) is four 18-tap convolutions on device; edge
+detection and bit-boundary peak picking run through ops/peaks' scan-based
+detector. Bit-level framing is sparse host work.
+
+Deliberate improvement over the reference: `messages` returns the actually
+decoded AX.25 payloads -- the reference prints them but stores a hardcoded
+"template: space rocks!" placeholder (ref decode_afsk1200.py:283).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..ops import correlate as corr_ops
+from ..ops import crc, design, fir, iir, peaks, resample as rs
+from ..stream import plan as plan_mod
+from .frontend import DdcFm
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class Ax25Frame:
+    destination: str
+    source: str
+    path: str
+    control: int | None
+    protocol: int | None
+    info: str
+    start_bit: int
+
+
+class Afsk1200Decoder:
+    """Decode AFSK1200 APRS frames from an IQ source."""
+
+    def __init__(self, sigsrc, offset: float, bw: int | None = None,
+                 dtype=jnp.complex64):
+        self.src = sigsrc
+        self.offset = float(offset)
+        self.bw = int(bw) if bw else K.AFSK_DEFAULT_BW
+        self.dtype = dtype
+        self._frames: list[Ax25Frame] | None = None
+        self._useful = 0
+
+    @property
+    def useful(self) -> int:
+        return self._useful
+
+    # ------------------------------------------------------------- front end
+    def _baseband_audio(self) -> tuple[np.ndarray, int]:
+        """offsetFreq -> blackman-harris(151) -> bwLim(bw) per chunk, then one
+        whole-signal FM demod (ref decode_afsk1200.py:74-95) -- via the fused
+        DDC (complex stream; the FM phasors cancel up to a constant rotation).
+        """
+        fe = DdcFm(self.src.sampFreq, self.offset,
+                   design.blackmanharris(151), self.bw, fm=False)
+        state = fe.init_state(self.dtype)
+        cs = []
+        for (s, e) in plan_mod.plan_blocks(self.src.length):
+            x = jnp.asarray(self.src.read(s, e), dtype=self.dtype)
+            c, state = fe.process_block(x, state, s)
+            cs.append(np.asarray(c))
+        c = np.concatenate(cs)
+        audio = np.angle(c[1:] * np.conj(c[:-1]) * fe.rot).astype(np.float32)
+        return audio, fe.out_rate
+
+    # ------------------------------------------------------------- bit layer
+    def _binary_filter(self, sig: np.ndarray) -> np.ndarray:
+        """Mark/space quadrature energy difference (ref
+        decode_afsk1200.py:106-143): four correlators as device convolutions;
+        kernel timing uses the *nominal* bw like the reference, not the
+        emergent decimated rate."""
+        buf = int(np.round(self.bw / K.AFSK_BAUDRATE))
+        i = np.arange(buf) / self.bw
+        kernels = np.stack([np.cos(2 * np.pi * K.AFSK_MARK_HZ * i),
+                            np.sin(2 * np.pi * K.AFSK_MARK_HZ * i),
+                            np.cos(2 * np.pi * K.AFSK_SPACE_HZ * i),
+                            np.sin(2 * np.pi * K.AFSK_SPACE_HZ * i)])
+        x = jnp.asarray(sig, dtype=jnp.float32)
+        # conv_valid(x, k) = sum_j k[j] x[n+j]: exactly the reference's
+        # sliding correlation, no tap reversal
+        outs = [np.asarray(fir.conv_valid(x, jnp.asarray(k, jnp.float32)))
+                for k in kernels]
+        mi, mq, si, sq = outs
+        bf = np.zeros(len(sig), dtype=np.float64)
+        n_set = len(sig) - buf          # reference leaves the tail at zero
+        bf[:n_set] = (mi[:n_set] ** 2 + mq[:n_set] ** 2
+                      - si[:n_set] ** 2 - sq[:n_set] ** 2)
+        return bf
+
+    def _bit_boundaries(self, bf: np.ndarray) -> np.ndarray:
+        """Edge correlation + lookahead peaks (ref decode_afsk1200.py:151-178);
+        returns the positive-peak sample positions."""
+        spb = self.bw // K.AFSK_BAUDRATE
+        kernel = np.concatenate([-np.ones(spb // 2), np.ones(spb - spb // 2)])
+        changes = np.asarray(fir.correlate_same(
+            jnp.asarray(np.sign(bf), jnp.float32),
+            jnp.asarray(kernel, jnp.float32))) / spb
+        max_peaks, _ = peaks.lookahead_peaks(np.abs(changes),
+                                             int(spb * 0.65))
+        return np.asarray([p for p, _ in max_peaks], dtype=np.int64)
+
+    def _nrzi_bits(self, bf: np.ndarray, pk: np.ndarray) -> np.ndarray:
+        """Expand inter-peak gaps into repeated NRZI bits by averaging each
+        baud window (ref decode_afsk1200.py:187-207)."""
+        spb = self.bw // K.AFSK_BAUDRATE
+        spb_f = self.bw / K.AFSK_BAUDRATE
+        reps = np.round(np.diff(pk) / spb_f).astype(np.int64)
+        vals = []
+        for i, r in enumerate(reps):
+            base = pk[i]
+            for k in range(int(r)):
+                seg = bf[base + k * spb: base + (k + 1) * spb]
+                vals.append(np.mean(seg) if len(seg) else 0.0)
+        return np.sign(np.asarray(vals))
+
+    # ------------------------------------------------------------- framing
+    @staticmethod
+    def decode_nrzi(nrzi: np.ndarray) -> np.ndarray:
+        """NRZI -> bits: 1 on no transition (ref decode_afsk1200.py:331-352)."""
+        nrzi = np.asarray(nrzi)
+        out = np.empty(len(nrzi), dtype=np.int64)
+        out[0] = 1
+        out[1:] = (nrzi[1:] == nrzi[:-1]).astype(np.int64)
+        return out
+
+    @staticmethod
+    def find_bit_stuffing(bits: np.ndarray) -> np.ndarray:
+        """Mark stuffed bits: 1 = stuffed 0 after five 1s, 2 = possible frame
+        end (ref decode_afsk1200.py:354-385)."""
+        bits = np.asarray(bits)
+        out = np.zeros(len(bits), dtype=np.int64)
+        run = 0
+        for i, b in enumerate(bits):
+            if run == 5:
+                out[i] = 2 if b == 1 else 1
+            run = run + 1 if b == 1 else 0
+        return out
+
+    @staticmethod
+    def reduce_stuffed_bit(bits, stuffed) -> list:
+        """Drop stuffed bits (ref decode_afsk1200.py:387-405)."""
+        return [b for b, s in zip(bits, stuffed) if s == 0]
+
+    @staticmethod
+    def find_flags(bits: np.ndarray) -> np.ndarray:
+        """Positions of the 01111110 frame flag (ref decode_afsk1200.py:219-230),
+        vectorized over the bitstream."""
+        bits = np.asarray(bits)
+        if len(bits) < 8:
+            return np.empty(0, dtype=np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(bits, 8)
+        flag = np.asarray([0, 1, 1, 1, 1, 1, 1, 0])
+        return np.flatnonzero(np.all(win == flag, axis=-1))
+
+    @staticmethod
+    def parse_ax25(msg_bits) -> Ax25Frame:
+        """AX.25 header/payload parse (ref decode_afsk1200.py:291-328):
+        bytes are LSB-first on the wire; header runs until a byte with its
+        extension (last transmitted) bit set; 7-bit chars in the header."""
+        header_chars = []
+        payload_chars = []
+        in_header = True
+        for i in range(0, len(msg_bits) - 7, 8):
+            byte = msg_bits[i:i + 8]
+            msb_first = "".join(str(int(b)) for b in byte[::-1])
+            if in_header:
+                header_chars.append(chr(int("0" + msb_first[:7], 2)))
+                if msb_first[-1] == "1":
+                    in_header = False
+            else:
+                payload_chars.append(chr(int(msb_first, 2)))
+        header = "".join(header_chars)
+        payload = "".join(payload_chars)
+        return Ax25Frame(
+            destination=header[:7], source=header[7:14], path=header[14:],
+            control=ord(payload[0]) if len(payload) > 0 else None,
+            protocol=ord(payload[1]) if len(payload) > 1 else None,
+            info=payload[2:], start_bit=0)
+
+    # ------------------------------------------------------------- top level
+    def get_frames(self) -> list[Ax25Frame]:
+        """Run the full decode; returns CRC-valid AX.25 frames."""
+        if self._frames is not None:
+            return self._frames
+        audio, rate = self._baseband_audio()
+        log.info("AFSK: %d samples at %d Hz", len(audio), rate)
+        bp = iir.IirFilter.design_butter(
+            rate, K.AFSK_MARK_HZ - 500, K.AFSK_SPACE_HZ + 500,
+            order=6, kind="bandpass")
+        sig = np.asarray(bp.apply(jnp.asarray(audio, jnp.float32),
+                                  bp.initial_state_step(jnp.float32))[0])
+        bf = self._binary_filter(sig)
+        pk = self._bit_boundaries(bf)
+        if len(pk) < 2:
+            self._frames = []
+            return self._frames
+        nrzi = self._nrzi_bits(bf, pk)
+        bits = self.decode_nrzi(nrzi)
+        stuffed = self.find_bit_stuffing(bits)
+        flags = self.find_flags(bits)
+        frames = []
+        for fi in range(len(flags) - 1):
+            seg = self.reduce_stuffed_bit(
+                bits[flags[fi] + 8: flags[fi + 1]],
+                stuffed[flags[fi] + 8: flags[fi + 1]])
+            msg = seg[:-16]
+            if len(seg) % 8 == 0 and len(msg) > 16 * 8:
+                sent = "".join(str(int(b)) for b in msg)
+                got = "".join(str(int(b)) for b in seg[-16:])
+                if crc.fcs_crc16_bits(sent) == got:
+                    frame = self.parse_ax25(msg)
+                    frame.start_bit = int(flags[fi])
+                    frames.append(frame)
+                    self._useful = 1
+                    log.info("APRS frame at bit %d: %s", flags[fi], frame.info)
+        self._frames = frames
+        return frames
+
+    def get_msg(self) -> str | None:
+        """Last decoded payload (the reference stores only the last frame,
+        ref decode_afsk1200.py:281-283 -- but we return the real text)."""
+        frames = self.get_frames()
+        return frames[-1].info if frames else None

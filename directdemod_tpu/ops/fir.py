@@ -129,3 +129,13 @@ def convolve_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     lpad = (k - 1) // 2    # 'same' keeps full-conv samples [(k-1)//2 : (k-1)//2+n)
     xp = jnp.pad(x, (k - 1 - lpad, lpad))
     return conv_valid(xp, w[::-1])
+
+
+def correlate_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Direct (non-FFT) scipy.signal.correlate(x, w, 'same').
+
+    Exact sliding sums matter when the downstream consumer relies on flat
+    regions being *exactly* zero (the AFSK edge detector feeds a threshold-less
+    peak picker, ref decode_afsk1200.py:158-170; FFT round-off there creates
+    phantom peaks)."""
+    return convolve_same(x, w[::-1].conj() if jnp.iscomplexobj(w) else w[::-1])
