@@ -1,0 +1,265 @@
+"""Funcube/Meteor frame-sync detection: chunk loop + two-pass max-sync search.
+
+Behavioral reference: `decode_funcube.getSyncs` / `decode_meteorm2.getSyncs`
+(ref decode_funcube.py:148-306, decode_meteorm2.py:145-332). The reference
+interleaves, per *sample*: (1) conditional buffering of PLL-rotated samples
+near expected frame positions, (2) a correlation countdown, (3) Gardner/AGC/
+Costas symbol processing with rolling-buffer "minsync" detection.
+
+TPU-first restructuring into two passes:
+  pass 1 (device): ops/pll.symbol_scan -- all PLL state at symbol rate.
+  pass 2 (host+device): the per-sample buffering/countdown is *replayed
+  analytically*: the armed region is an interval arithmetic problem over the
+  symbol->sample map, the buffered values are a gather of the stored filtered
+  stream rotated by the piecewise-constant PLL phasor, and the max-sync
+  correlation is one FFT correlation per detected frame.
+
+The NCO phase restarts at every chunk (the reference builds its commSignal
+without a chunker -- ref decode_funcube.py:199), and the Butterworth low-pass
+carries state across chunks (filter built once outside the loop -- ref
+decode_funcube.py:160). Both quirks are reproduced.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import PROC_CHUNKSIZE
+from ..ops import correlate as corr_ops
+from ..ops import iir, nco
+from ..ops.pll import PskParams, initial_state, symbol_scan
+from ..stream import plan as plan_mod
+
+log = logging.getLogger(__name__)
+
+
+def _lim(x: np.ndarray) -> np.ndarray:
+    """ref decode_funcube.py:88-97: clamp to [-128,127], values in (0,1)->1,
+    (-1,0)->-1, else int truncation."""
+    out = np.trunc(x)
+    out = np.where((x > 0) & (x < 1), 1, out)
+    out = np.where((x > -1) & (x < 0), -1, out)
+    return np.clip(out, -128, 127)
+
+
+@dataclass
+class _SyncConfig:
+    sym_sync: np.ndarray        # 0/1 pattern at symbol rate (buffer compare)
+    sym_sync_alt: np.ndarray    # QPSK alternate (== sym_sync for BPSK)
+    needles: list               # +-128-valued full-rate needles (1 or 3)
+    entries_per_sample: int     # 1 bpsk, 2 qpsk (interleaved I/Q)
+    cap_entries: int            # maxResBuff cap (2 * len(needle))
+    arm_pre_syms: int           # arming starts at ctr > lastMin + this
+    arm_end_syms: int           # arming ends past ctr > lastMin + this
+    frame_spacing: float        # expected sync spacing (samples)
+    spacing_tol: float          # usefulness tolerance (samples)
+
+
+class PskSyncDetector:
+    """Shared driver; see FuncubeDecoder / MeteorM2Decoder for the configs."""
+
+    def __init__(self, sigsrc, offset, bw: int, params: PskParams,
+                 cfg: _SyncConfig, freq_fn=None, dtype=jnp.complex64):
+        self.src = sigsrc
+        self.offset = float(offset)
+        self.bw = bw
+        self.p = params
+        self.cfg = cfg
+        self.freq_fn = freq_fn      # optional per-chunk Doppler freq array fn
+        self.dtype = dtype
+        self._useful = 0
+        self._syncs = None
+        # pass-2 incremental state
+        self._consumed = 0        # minsync events fully absorbed
+        self._open = None         # open correlation cluster
+        self._prev_lm = None      # lastMin before the open cluster
+
+    @property
+    def useful(self) -> int:
+        return self._useful
+
+    # ---------------------------------------------------------------- pass 1+2
+    def get_syncs(self) -> list:
+        if self._syncs is not None:
+            return self._syncs
+        p, cfg = self.p, self.cfg
+        lp = iir.IirFilter.design_butter(self.src.sampFreq, self.bw, order=6,
+                                         kind="lowpass")
+        lp_state = lp.initial_state_step(jnp.complex64)
+        scan_state = initial_state(p, len(cfg.sym_sync))
+        sync_j = jnp.asarray(cfg.sym_sync, jnp.float32)
+        sync1_j = jnp.asarray(cfg.sym_sync_alt, jnp.float32)
+
+        # growing symbol history (host)
+        a_idx: list = []          # global sample of each symbol's A event
+        phases: list = []
+        chosens: list = []
+        minsyncs: list = []       # (symbol_number(ctr), global_sample)
+
+        # stream retention for pass 2
+        tail = np.empty(0, dtype=np.complex64)
+        tail_start = 0            # global index of tail[0]
+        max_win = cfg.cap_entries // cfg.entries_per_sample \
+            + cfg.cap_entries // cfg.entries_per_sample + 8
+
+        max_syncs: list = []
+
+        plan = plan_mod.plan_blocks(self.src.length, PROC_CHUNKSIZE)
+        for ci, (s, e) in enumerate(plan):
+            x = jnp.asarray(self.src.read(s, e), dtype=self.dtype)
+            # chunk-local NCO phase (reference quirk: no chunker)
+            if self.freq_fn is not None:
+                freqs = self.freq_fn(ci, len(plan), e - s)
+                x = nco.mix_array_freq(x, jnp.asarray(freqs, jnp.float32),
+                                       self.src.sampFreq, start=0)
+            elif self.offset != 0.0:
+                anch = nco.phase_anchors(self.offset, self.src.sampFreq, 0, e - s)
+                x = nco.mix(x, np.float32(-2 * np.pi * self.offset
+                                          / self.src.sampFreq), jnp.asarray(anch))
+            x, lp_state = lp.apply(x, lp_state)
+
+            scan_state, outs = symbol_scan(p, x, scan_state, sync_j, sync1_j)
+            valid = np.asarray(outs.valid)
+            ai = np.asarray(outs.a_idx)[valid] + s
+            ph = np.asarray(outs.phase_out)[valid]
+            ch = np.asarray(outs.chosen)[valid]
+            mf = np.asarray(outs.minsync)[valid]
+            base_ctr = sum(len(a) for a in a_idx)
+            a_idx.append(ai)
+            phases.append(ph)
+            chosens.append(ch)
+            for k in np.flatnonzero(mf):
+                minsyncs.append((base_ctr + k + 1, int(ai[k])))
+
+            # rebase the carried anchor into the next block's coordinates
+            scan_state = scan_state._replace(
+                anchor=scan_state.anchor - jnp.int32(e - s))
+
+            # pass 2 incremental processing with available stream
+            xs = np.asarray(x)
+            stream = np.concatenate([tail, xs])
+            stream_start = tail_start
+            max_syncs = self._drain_corr_jobs(
+                minsyncs, a_idx, phases, chosens, stream, stream_start,
+                stream_start + len(stream), max_syncs,
+                final=(ci == len(plan) - 1))
+            keep = min(len(stream), max_win)
+            tail = stream[-keep:]
+            tail_start = stream_start + len(stream) - keep
+
+        self._syncs = self._finalize(max_syncs)
+        return self._syncs
+
+    # ---------------------------------------------------------------- helpers
+    def _sym_sample(self, a_idx_chunks, j: int) -> int | None:
+        """Global sample of 0-based symbol j (ctr becomes j+1 there)."""
+        for arr in a_idx_chunks:
+            if j < len(arr):
+                return int(arr[j])
+            j -= len(arr)
+        return None
+
+    def _phase_at(self, a_idx_cat, phases_cat, n_arr: np.ndarray) -> np.ndarray:
+        """PLL phase in effect at samples n_arr: the phase of the last symbol
+        with a_idx < n (pllObj.output is updated when a symbol processes --
+        ref decode_funcube.py:61)."""
+        pos = np.searchsorted(a_idx_cat, n_arr, side="left") - 1
+        ph = np.where(pos >= 0, phases_cat[np.clip(pos, 0, None)], 0.0)
+        return ph
+
+    def _drain_corr_jobs(self, minsyncs, a_idx, phases, chosens,
+                         stream, lo, hi, max_syncs, final=False):
+        """Advance the arming/countdown state machine over newly seen minsync
+        events; run correlations whose countdown completes inside the
+        available stream [lo, hi)."""
+        cfg = self.cfg
+        eps = cfg.entries_per_sample
+        cap_samples = cfg.cap_entries // eps
+        countdown = cfg.cap_entries + 1          # samples past the last trigger
+
+        a_cat = np.concatenate(a_idx) if a_idx else np.empty(0)
+        ph_cat = np.concatenate(phases) if phases else np.empty(0)
+        ch_cat = np.concatenate(chosens) if chosens else np.empty(0, np.int64)
+
+        while True:
+            if self._open is None:
+                if self._consumed >= len(minsyncs):
+                    break
+                ctr_t, samp_t = minsyncs[self._consumed]
+                self._consumed += 1
+                self._open = {"first": samp_t, "last": samp_t,
+                              "last_ctr": ctr_t, "prev_lm": self._prev_lm}
+            # absorb retriggers within the countdown (retain reset,
+            # ref decode_funcube.py:294)
+            while (self._consumed < len(minsyncs)
+                   and minsyncs[self._consumed][1]
+                   <= self._open["last"] + countdown):
+                ctr_t, samp_t = minsyncs[self._consumed]
+                self._consumed += 1
+                self._open["last"] = samp_t
+                self._open["last_ctr"] = ctr_t
+            corr_at = self._open["last"] + countdown
+            if corr_at >= hi:
+                if final:
+                    # capture ended mid-countdown: the reference never
+                    # correlates this cluster
+                    self._prev_lm = self._open["last_ctr"]
+                    self._open = None
+                    continue
+                break
+            # window start: pre-trigger sliding buffer begins at the arming
+            # boundary of the *previous* frame's lastMin, capped to the
+            # buffer size (ref decode_funcube.py:240-249)
+            prev_lm = self._open["prev_lm"]
+            ws = self._open["first"] + 1
+            if prev_lm is not None:
+                arm_samp = self._sym_sample(a_idx, prev_lm + cfg.arm_pre_syms)
+                if arm_samp is not None and arm_samp + 1 < ws:
+                    ws = max(arm_samp + 1, self._open["first"] + 1 - cap_samples)
+            ws = max(ws, lo)
+            we = corr_at
+            needle_i = 0
+            if len(cfg.needles) > 1:
+                pos = np.searchsorted(a_cat, we, side="left") - 1
+                needle_i = int(ch_cat[pos]) if pos >= 0 else 0
+            sync_pos = self._correlate_window(
+                stream[ws - lo: we + 1 - lo], ws, a_cat, ph_cat,
+                cfg.needles[needle_i])
+            max_syncs.append(sync_pos)
+            log.info("MAXSYNC %s", sync_pos)
+            self._prev_lm = self._open["last_ctr"]
+            self._open = None
+        return max_syncs
+
+    def _correlate_window(self, seg: np.ndarray, ws: int, a_cat, ph_cat,
+                          needle: np.ndarray) -> float:
+        """Rotate by the PLL phasor, quantize like the reference, correlate."""
+        cfg = self.cfg
+        n_arr = ws + np.arange(len(seg))
+        ph = self._phase_at(a_cat, ph_cat, n_arr)
+        rot = seg * np.exp(-1j * ph)
+        if cfg.entries_per_sample == 1:
+            vals = _lim(np.real(rot) / 2.0)
+        else:
+            vals = np.empty(2 * len(seg))
+            vals[0::2] = _lim(np.real(rot) / 2.0)
+            vals[1::2] = _lim(np.imag(rot) / 2.0)
+        cor = np.abs(np.asarray(corr_ops.correlate_same(
+            jnp.asarray(vals, jnp.float32),
+            jnp.asarray(needle, jnp.float32))))
+        am = int(np.argmax(cor))
+        if cfg.entries_per_sample == 1:
+            return float(ws + am)
+        return float(ws + am / 2.0)
+
+    def _finalize(self, max_syncs: list) -> list:
+        cfg = self.cfg
+        if max_syncs:
+            d = np.abs(np.diff(max_syncs) - cfg.frame_spacing)
+            if len(d) and np.min(d) < cfg.spacing_tol:
+                self._useful = 1
+            return list(max_syncs)[1:]
+        return []

@@ -1,0 +1,263 @@
+"""Carrier/timing recovery: AGC + Costas loop + Gardner, as a symbol-rate scan.
+
+Behavioral reference: the per-sample loops of `decode_funcube` / `decode_meteorm2`
+(ref decode_funcube.py:17-103,235-298; decode_meteorm2.py:16-103,229-321):
+  * AGC: slow DC tracker + amplitude tracker with a gain cap
+    (ref decode_funcube.py:17-35)
+  * Costas PLL (BPSK or QPSK error), alpha/beta loop with lock detection that
+    halves the bandwidth on lock (ref decode_funcube.py:37-86)
+  * Gardner timing recovery sampling mid/full symbol points
+    (ref decode_funcube.py:264-274)
+  * rolling hard-decision buffer compared against the frame sync word
+    ("minsync", ref decode_funcube.py:277-294)
+
+TPU-first restructuring: the reference iterates every *sample* (2.048 MHz) in
+Python; all state changes actually happen at *symbol* boundaries (the B
+mid-point and A sample). The scan below advances event-by-event (2 events per
+symbol) with `dynamic_slice` gathers, cutting the sequential length by the
+samples-per-symbol factor (~170x for funcube) while computing bit-identical
+state updates. Per-sample work (the max-sync buffering) is reconstructed
+afterwards from the emitted per-symbol phase/positions (see models/psk_sync).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclass(frozen=True)
+class PskParams:
+    """Static configuration for one detector variant."""
+    fs: float                    # input sample rate
+    sym_rate: float              # symbol rate (12000 funcube, 72000 meteor)
+    qpsk: bool                   # costas error form
+    agc_mean0: float             # AGC amplitude-tracker init (180 / 3)
+    agc_gain_cap: float          # gain cap (20 / 200)
+    costas_bw: float             # loop bandwidth (0.05235833333*6 / 0.008727)
+    costas_damping: float = 0.70710678118
+    sync_len: int = 0            # minsync buffer length (entries)
+    minsync_thresh: float = 0.0  # distance trigger (120 / 30)
+    meteor_gate: bool = False    # meteor: gate minsync buffering by lastMin
+
+    @property
+    def symbol_period(self) -> float:
+        return self.fs / self.sym_rate
+
+
+class PskState(NamedTuple):
+    stage: jnp.ndarray        # 0 = B pending, 1 = A pending
+    anchor: jnp.ndarray       # local sample index of last A event
+    timing: jnp.ndarray       # Gardner timing phase after last A
+    g_b: jnp.ndarray          # last mid-symbol sample (post AGC)
+    g_c: jnp.ndarray          # previous symbol sample (post AGC, pre PLL)
+    agc_dc: jnp.ndarray
+    agc_mean: jnp.ndarray
+    phase: jnp.ndarray
+    freq: jnp.ndarray
+    pll_mean: jnp.ndarray
+    locked: jnp.ndarray
+    ctr: jnp.ndarray          # completed-symbol count
+    last_min: jnp.ndarray     # symbol ctr of last minsync (-1 = none)
+    buf: jnp.ndarray          # rolling hard-decision entries
+    buf2: jnp.ndarray         # second buffer (meteor I/Q-swapped; unused bpsk)
+    buf_fill: jnp.ndarray
+    chosen: jnp.ndarray       # meteor needle selection (0/1/2)
+
+
+class SymbolOut(NamedTuple):
+    valid: jnp.ndarray
+    a_idx: jnp.ndarray        # local sample index of the A event
+    phase_out: jnp.ndarray    # PLL phase used for this symbol's rotation
+    minsync: jnp.ndarray
+    chosen: jnp.ndarray
+    corrected: jnp.ndarray    # post-PLL symbol value
+
+
+def initial_state(p: PskParams, sync_len: int) -> PskState:
+    f32 = jnp.float32
+    return PskState(
+        stage=jnp.int32(0),
+        anchor=jnp.int32(0),
+        timing=f32(0.0),
+        g_b=jnp.complex64(0.0),
+        g_c=jnp.complex64(0.0),
+        agc_dc=jnp.complex64(0.0),
+        agc_mean=f32(p.agc_mean0),
+        phase=f32(0.0),
+        freq=f32(0.001),
+        pll_mean=f32(1.0),
+        locked=jnp.bool_(False),
+        ctr=jnp.int32(0),
+        last_min=jnp.int32(-1),
+        buf=jnp.zeros(sync_len, jnp.float32),
+        buf2=jnp.zeros(sync_len, jnp.float32),
+        buf_fill=jnp.int32(0),
+        chosen=jnp.int32(0),
+    )
+
+
+def _alpha_beta(p: PskParams, locked):
+    bw = jnp.where(locked, p.costas_bw / 2.0, p.costas_bw)
+    denom = 1.0 + 2.0 * p.costas_damping * bw + bw * bw
+    return (4 * p.costas_damping * bw) / denom, (4 * bw * bw) / denom
+
+
+def _agc(p: PskParams, dc, mean, inp):
+    """ref decode_funcube.py:22-35 (meteor variant differs in constants)."""
+    dc2 = (dc * (1024.0 * 1024.0 - 1.0) + inp) / (1024.0 * 1024.0)
+    v = inp - dc2
+    mean2 = (mean * (65536.0 - 1.0) + jnp.abs(v)) / 65536.0
+    gain = jnp.where(180.0 / mean2 > p.agc_gain_cap,
+                     p.agc_gain_cap, 180.0 / mean2)
+    return dc2, mean2, v * gain.astype(v.real.dtype)
+
+
+def _hyp(x):
+    """Quantized tanh lookup (ref decode_funcube.py:51-53,83-86): clamp to
+    [-128, 127], floor(x+128) indexing."""
+    xi = jnp.floor(x + 128.0)
+    xi = jnp.clip(xi, 0.0, 255.0) - 128.0
+    return jnp.where(x > 127.0, 1.0, jnp.where(x < -128.0, -1.0, jnp.tanh(xi)))
+
+
+def _costas(p: PskParams, phase, freq, mean, locked, samp):
+    """ref decode_funcube.py:60-81 / decode_meteorm2.py:59-81."""
+    out_phasor = jnp.exp(-1j * phase).astype(jnp.complex64)
+    corrected = samp * out_phasor
+    re, im = jnp.real(corrected), jnp.imag(corrected)
+    if p.qpsk:
+        err = (im * _hyp(re) - re * _hyp(im)) / 255.0
+    else:
+        err = im * _hyp(re) / 255.0
+    mean2 = (mean * 39999.0 + jnp.abs(err)) / 40000.0
+    err = jnp.clip(err, -1.0, 1.0)
+    alpha, beta = _alpha_beta(p, locked)
+    # math.fmod semantics: result keeps the sign of the dividend
+    raw = phase + freq + alpha * err
+    phase2 = jnp.sign(raw) * jnp.mod(jnp.abs(raw), 2.0 * np.pi)
+    freq2 = freq + beta * err
+    locked2 = jnp.where(~locked & (mean2 < 0.2), True,
+                        jnp.where(locked & (mean2 > 0.5), False, locked))
+    return phase2, freq2, mean2, locked2, corrected
+
+
+def _lim_bin(x):
+    return jnp.where(x <= 0.0, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
+                sync: jnp.ndarray, sync1: jnp.ndarray
+                ) -> tuple[PskState, SymbolOut]:
+    """Run the event scan over one block of the filtered complex stream.
+
+    `sync`: the 0/1 frame-sync pattern at symbol rate; `sync1`: the
+    alternating-flipped QPSK ambiguity variant (pass `sync` again for BPSK).
+    Events whose sample index falls beyond this block leave the state unchanged
+    (they replay from the carried state in the next block).
+    """
+    n = x.shape[0]
+    T = p.symbol_period
+    sync = jnp.asarray(sync, jnp.float32)
+    sync1 = jnp.asarray(sync1, jnp.float32)
+    slen = sync.shape[0]
+    half = slen / 2.0
+
+    n_events = 2 * (int(n / T) + 2)
+
+    def push2(buf, v1, v2):
+        return jnp.concatenate([buf[2:], jnp.stack([v1, v2])])
+
+    def step(s: PskState, _):
+        is_b = s.stage == 0
+        # next event offset from the anchor
+        m_b = jnp.ceil(T / 2.0 - s.timing).astype(jnp.int32)
+        m_a = jnp.ceil(T - s.timing).astype(jnp.int32)
+        m = jnp.where(is_b, m_b, m_a)
+        idx = s.anchor + m
+        valid = idx < n
+        xi = lax.dynamic_slice(x, (jnp.clip(idx, 0, n - 1),), (1,))[0]
+
+        # ---- B event: AGC the mid-symbol sample
+        dc_b, mean_b, gb = _agc(p, s.agc_dc, s.agc_mean, xi)
+
+        # ---- A event: AGC, Gardner update, PLL, minsync
+        dc_a, mean_a, ga = _agc(p, s.agc_dc, s.agc_mean, xi)
+        resync = (jnp.imag(ga) - jnp.imag(s.g_c)) * jnp.imag(s.g_b)
+        timing_a = s.timing + m.astype(jnp.float32) - T \
+            + resync * T / 2000000.0
+        ph2, fr2, pm2, lk2, corrected = _costas(
+            p, s.phase, s.freq, s.pll_mean, s.locked, ga)
+        ctr_a = s.ctr + 1
+
+        if p.qpsk:
+            gate = (s.last_min < 0) | (ctr_a > s.last_min + jnp.int32(0.1 * p.sym_rate))
+            b1 = push2(s.buf, _lim_bin(jnp.real(corrected)),
+                       _lim_bin(jnp.imag(corrected)))
+            b2 = push2(s.buf2, _lim_bin(jnp.imag(corrected)),
+                       _lim_bin(jnp.real(corrected)))
+            buf_a = jnp.where(gate, b1, s.buf)
+            buf2_a = jnp.where(gate, b2, s.buf2)
+            fill_a = jnp.where(gate, jnp.minimum(s.buf_fill + 2, slen), s.buf_fill)
+            full = fill_a >= slen
+            c1 = jnp.abs(jnp.sum(jnp.abs(buf_a - sync)) - half)
+            c4 = jnp.abs(jnp.sum(jnp.abs(buf2_a - sync1)) - half)
+            hit1 = full & gate & (c1 > p.minsync_thresh)
+            hit4 = full & gate & (c4 > p.minsync_thresh)
+            # needle choice, last assignment wins (ref decode_meteorm2.py:307-312)
+            chosen_a = s.chosen
+            chosen_a = jnp.where(hit1, 0, chosen_a)
+            chosen_a = jnp.where(hit4, 2, chosen_a)
+            is_min = hit1 | hit4
+        else:
+            buf_a = jnp.concatenate([s.buf[1:],
+                                     _lim_bin(jnp.real(corrected))[None]])
+            buf2_a = s.buf2
+            fill_a = jnp.minimum(s.buf_fill + 1, slen)
+            full = fill_a >= slen
+            dist = jnp.abs(jnp.sum(jnp.abs(buf_a - sync)) - half)
+            is_min = full & (dist > p.minsync_thresh)
+            chosen_a = s.chosen
+        last_min_a = jnp.where(is_min, ctr_a, s.last_min)
+
+        # ---- merge: select B-event vs A-event updates, mask invalid
+        def sel(b_val, a_val, old):
+            picked = jnp.where(is_b, b_val, a_val)
+            return jnp.where(valid, picked, old)
+
+        new = PskState(
+            stage=jnp.where(valid, jnp.where(is_b, 1, 0), s.stage),
+            anchor=jnp.where(valid & ~is_b, idx, s.anchor),
+            timing=jnp.where(valid & ~is_b, timing_a, s.timing),
+            g_b=jnp.where(valid & is_b, gb, s.g_b),
+            g_c=jnp.where(valid & ~is_b, ga, s.g_c),
+            agc_dc=sel(dc_b, dc_a, s.agc_dc),
+            agc_mean=sel(mean_b, mean_a, s.agc_mean),
+            phase=jnp.where(valid & ~is_b, ph2, s.phase),
+            freq=jnp.where(valid & ~is_b, fr2, s.freq),
+            pll_mean=jnp.where(valid & ~is_b, pm2, s.pll_mean),
+            locked=jnp.where(valid & ~is_b, lk2, s.locked),
+            ctr=jnp.where(valid & ~is_b, ctr_a, s.ctr),
+            last_min=jnp.where(valid & ~is_b, last_min_a, s.last_min),
+            buf=jnp.where(valid & ~is_b, buf_a, s.buf),
+            buf2=jnp.where(valid & ~is_b, buf2_a, s.buf2),
+            buf_fill=jnp.where(valid & ~is_b, fill_a, s.buf_fill),
+            chosen=jnp.where(valid & ~is_b, chosen_a, s.chosen),
+        )
+        out = SymbolOut(
+            valid=valid & ~is_b,
+            a_idx=idx,
+            phase_out=s.phase,       # phasor in effect during this symbol
+            minsync=valid & ~is_b & is_min,
+            chosen=chosen_a,
+            corrected=corrected,
+        )
+        return new, out
+
+    return lax.scan(step, state, None, length=n_events)
