@@ -1,0 +1,137 @@
+"""Map overlay for NOAA APT images (optional geo dependencies).
+
+Behavioral reference: `decode_noaa.getMapImage` + the CLI's satellite/time
+discovery (ref decode_noaa.py:98-253, main.py:232-265): predict the satellite
+ground track with pyorbital, compute the track bearing, rotate the channel-A
+image to north-up, render coastlines/borders (cartopy preferred, basemap
+legacy), then reverse-rotate and crop back to image coordinates.
+
+All geo dependencies are optional; missing ones log an error and no files are
+produced (matching the reference's graceful degradation).
+"""
+from __future__ import annotations
+
+import logging
+from datetime import datetime, timedelta
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def bearing_deg(lat1, lon1, lat2, lon2) -> float:
+    """Initial bearing from point 1 to point 2, in the reference's reversed
+    convention (ref decode_noaa.py:135-150)."""
+    lat1, lon1, lat2, lon2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    dlon = lon2 - lon1
+    y = np.sin(dlon) * np.cos(lat2)
+    x = np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+    brng = (np.degrees(np.arctan2(y, x)) + 360.0) % 360.0
+    return 360.0 - brng
+
+
+def offset_latlon(center, dx_m, dy_m):
+    """Move a (lat, lon) point by meters (ref decode_noaa.py:208-212)."""
+    lat = center[0] + (dy_m / 6371000.0) * (180.0 / np.pi)
+    lon = center[1] + (dx_m / 6371000.0) * (180.0 / np.pi) \
+        / np.cos(center[0] * np.pi / 180.0)
+    return [lat, lon]
+
+
+def capture_time_from_filename(file_name: str) -> datetime | None:
+    """SDRSharp-style `..._YYYYMMDD_HHMMSSZ_...` stamp (ref main.py:242-254)."""
+    parts = file_name.split("_")[::-1]
+    for i, p in enumerate(parts):
+        if p and p[-1] == "Z" and i + 1 < len(parts):
+            d, t = parts[i + 1], p[:-1]
+            try:
+                return datetime(int(d[:4]), int(d[4:6]), int(d[6:8]),
+                                int(t[:2]), int(t[2:4]), int(t[4:6]))
+            except (ValueError, IndexError):
+                return None
+    return None
+
+
+def map_overlay(image_a: np.ndarray, capture_time: datetime, satellite: str,
+                dest_rot: str, dest_norot: str, tle_file: str | None = None
+                ) -> list:
+    """Render the overlay; returns the list of files written."""
+    try:
+        from pyorbital.orbital import Orbital
+    except ImportError:
+        log.error("pyorbital not installed")
+        return []
+    try:
+        import cartopy.crs as ccrs
+        import cartopy.feature
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from scipy import ndimage
+        from PIL import Image
+    except ImportError:
+        log.error("cartopy (or basemap) not installed; cannot draw map")
+        return []
+
+    orb = Orbital(satellite) if tle_file is None else \
+        Orbital(satellite, tle_file=tle_file)
+
+    im = image_a[:, 85:995]            # crop sync/telemetry margins
+    oim = im.copy()
+    tdelta = max(int(im.shape[0] / 16), 10)
+    mid_s = int(im.shape[0] / 4)
+    top = orb.get_lonlatalt(capture_time + timedelta(seconds=mid_s - tdelta))[:2][::-1]
+    bot = orb.get_lonlatalt(capture_time + timedelta(seconds=mid_s + tdelta))[:2][::-1]
+    center = orb.get_lonlatalt(capture_time + timedelta(seconds=mid_s))[:2][::-1]
+    rot = bearing_deg(*bot, *top)
+
+    img = ndimage.rotate(im, rot)
+    rimg = img.copy()
+    dx = img.shape[0] * 4000 / 2 * 0.81
+    dy = img.shape[1] * 4000 / 2 * 0.81
+    leftbot = offset_latlon(center, -dx, -dy)
+    righttop = offset_latlon(center, dx, dy)
+    extent = (leftbot[1], righttop[1], leftbot[0], righttop[0])
+
+    plt.figure()
+    ax = plt.axes(projection=ccrs.PlateCarree())
+    ax.imshow(img, origin="upper", cmap="gray", extent=extent,
+              transform=ccrs.PlateCarree())
+    ax.coastlines(resolution="50m", color="yellow", linewidth=1)
+    ax.add_feature(cartopy.feature.BORDERS, linestyle="-", edgecolor="yellow")
+    plt.savefig(dest_rot, bbox_inches="tight", dpi=1000)
+    plt.close()
+    created = [dest_rot]
+
+    try:
+        rendered = np.asarray(Image.open(dest_rot))
+        rendered = rendered[109:-109, 109:-109, :]
+        rendered = np.asarray(Image.fromarray(rendered).resize(
+            (rimg.shape[1], rimg.shape[0])))
+        back = -1 * (rot % 180) if 90 < (rot % 360) < 270 else -1 * rot
+        rendered = ndimage.rotate(rendered, back)
+        rf = int(rendered.shape[0] / 2 - oim.shape[0] / 2)
+        cf = int(rendered.shape[1] / 2 - oim.shape[1] / 2)
+        rendered = rendered[rf:rf + oim.shape[0], cf:cf + oim.shape[1]]
+        Image.fromarray(rendered).save(dest_norot)
+        created.append(dest_norot)
+    except Exception:
+        log.error("Image reverse rotation failed")
+    return created
+
+
+def map_overlay_from_filename(noaa_decoder, file_name: str, channel_freq,
+                              dest_rot: str, dest_norot: str,
+                              tle_file: str | None) -> list:
+    """CLI glue: derive satellite + capture time (ref main.py:232-265)."""
+    from .. import constants
+    sat = constants.NOAA_SATS.get(channel_freq)
+    if sat is None:
+        log.error("This satellite frequency not found")
+        return []
+    when = capture_time_from_filename(file_name)
+    if when is None:
+        log.error("Was not able to get time from file name")
+        return []
+    return map_overlay(noaa_decoder.image_a, when, sat, dest_rot, dest_norot,
+                       tle_file)

@@ -1,0 +1,82 @@
+"""CLI surface: flag parsing quirks, end-to-end decode, JSON report."""
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from directdemod_tpu import cli
+from tests.apt_synth import synthesize, FS
+
+
+def _write_wav(path, iq, scale=1.0):
+    u8 = np.empty(2 * len(iq), np.uint8)
+    u8[0::2] = np.clip(np.round(iq.real * scale + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(iq.imag * scale + 127.5), 0, 255).astype(np.uint8)
+    payload = u8.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 2, FS, FS * 2, 2, 8))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+
+
+@pytest.fixture(scope="module")
+def noaa_wav(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    iq, _ = synthesize(n_lines=12, snr_db=20)
+    path = str(d / "SDRSharp_20170830_073907Z_137590000Hz_IQ.wav")
+    _write_wav(path, iq)
+    return path
+
+
+def test_cli_noaa_with_report_and_filename_centre(noaa_wav, tmp_path):
+    """-ce style: centre frequency parsed from the file name (ref main.py:167-173)."""
+    report = str(tmp_path / "report.json")
+    out = str(tmp_path / "outimg")
+    rc = cli.main(["-f", "137620000", "-d", "noaa", "-o", out,
+                   "-r", report, noaa_wav])
+    assert rc == 0
+    rep = json.load(open(report))
+    assert rep["centreFreq"] == 137590000
+    ch = rep["channels"][0]
+    assert ch["offset"] == 30000
+    assert ch["usefulness"] == 1
+    assert out + ".png" in ch["filesCreated"]
+    assert os.path.exists(out + ".png")
+
+
+def test_cli_sync_flag_quirk(noaa_wav, tmp_path):
+    """-sync parses as ('-s','ync') and must not be taken as a start index."""
+    report = str(tmp_path / "r.json")
+    out = str(tmp_path / "o2")
+    rc = cli.main(["-c", "137590000", "-f", "137620000", "-d", "noaa",
+                   "-o", out, "-sync", "-noimage", "-r", report, noaa_wav])
+    assert rc == 0
+    ch = json.load(open(report))["channels"][0]
+    assert ch["syncDetect"] is True and ch["image"] is False
+    assert out + ".csv" in ch["filesCreated"]
+    assert not os.path.exists(out + ".png")
+    # csv has the 8 reference columns
+    header = open(out + ".csv").readline()
+    assert header.count(",") == 8
+
+
+def test_cli_iq_swap_negates_offset(noaa_wav, tmp_path):
+    report = str(tmp_path / "r.json")
+    cli.main(["-q", "-c", "137590000", "-f", "137620000", "-d", "noaa",
+              "-noimage", "-r", report, noaa_wav])
+    assert json.load(open(report))["channels"][0]["offset"] == -30000
+
+
+def test_cli_bad_decoder_is_fenced(noaa_wav, tmp_path):
+    """A failing channel must not kill the run (ref main.py:347-349)."""
+    report = str(tmp_path / "r.json")
+    rc = cli.main(["-c", "137590000", "-f", "1", "-d", "noaa",
+                   "-e", "99999999999", "-r", report, noaa_wav])
+    assert rc == 0
+    assert os.path.exists(report)
