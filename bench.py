@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Headline benchmark: IQ Msamples/s/chip through the filter + FM-demod chain.
+
+Measures the fused DDC+FM front-end (offsetFreq -> blackman-harris(151) ->
+decimate-by-34 -> polar discriminator; the chain of ref decode_noaa.py:623 /
+decode_fm.py:64-68) in steady state on one chip, on full 20M-sample stream
+blocks, and compares against the reference's NumPy/SciPy implementation of the
+same chain timed on this same host (`vs_baseline` = ours / reference).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _reference_chain_msamps(n: int = 2_000_000) -> float:
+    """The reference's own ops (scipy lfilter etc.) timed on this host."""
+    import scipy.signal as ss
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    taps = ss.windows.blackmanharris(151)
+    zi = ss.lfilter_zi(taps, [1.0]).astype(complex)
+    fs = 2048000
+
+    def run():
+        sig = x * np.exp(-1j * 2 * np.pi * 30000 * np.arange(n) / fs)
+        sig, _ = ss.lfilter(taps, [1.0], sig, zi=zi)
+        sig = sig[::34]
+        return np.angle(sig[1:] * np.conj(sig[:-1]))
+
+    run()                              # warm caches
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return n / dt / 1e6
+
+
+def _tpu_chain_msamps(block: int = 20_000_000, iters: int = 10) -> tuple[float, str]:
+    import jax
+    import jax.numpy as jnp
+    from directdemod_tpu.models.frontend import DdcFm
+    from directdemod_tpu.ops import design
+
+    dev = jax.devices()[0]
+    fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal(block)
+                     + 1j * rng.standard_normal(block)).astype(np.complex64))
+    state = fe.init_state(jnp.complex64)
+
+    # warm up every (off -> out_len, first) jit variant the steady stream hits
+    start = 0
+    for _ in range(4):
+        y, state = fe.process_block(x, state, start)
+        start += block
+    y.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y, state = fe.process_block(x, state, start)
+        start += block
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+    return block * iters / dt / 1e6, dev.device_kind
+
+
+def main() -> int:
+    try:
+        value, device = _tpu_chain_msamps()
+    except Exception as e:  # keep the driver record useful even on failure
+        print(json.dumps({"metric": "iq_chain_throughput", "value": 0.0,
+                          "unit": "Msamples/s/chip", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {e}"}))
+        return 1
+    try:
+        ref = _reference_chain_msamps()
+    except Exception:
+        ref = float("nan")
+    out = {
+        "metric": "iq_chain_throughput",
+        "value": round(value, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(value / ref, 1) if ref == ref else None,
+        "device": device,
+        "reference_msamples_per_s_same_host": round(ref, 1) if ref == ref else None,
+        "realtime_factor_at_2048ksps": round(value / 2.048, 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,8 +22,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _rconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-    """Real 1-D VALID cross-correlation with stride (kernel not flipped)."""
+def _rconv_direct(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """Degenerate (1,1,N) conv -- fine for small N, catastrophically padded by
+    the TPU tiler for large N (a (1,1,20M) operand tiles at 256x expansion)."""
     lhs = x[None, None, :]
     rhs = w[None, None, :].astype(x.dtype)
     out = lax.conv_general_dilated(
@@ -32,6 +33,61 @@ def _rconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
         preferred_element_type=x.dtype,
     )
     return out[0, 0]
+
+
+def _rconv_polyphase(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Strided conv as a polyphase *channel* conv: out[m] = sum_i w[i] x[m*J+i]
+    becomes a width-ceil(K/J) convolution over J input channels -- the layout
+    the TPU tiler actually likes, and the MXU does the work."""
+    j = stride
+    k = w.shape[0]
+    m = (x.shape[0] - k) // j + 1
+    q = -(-k // j)
+    mp = m + q                       # rows after padding to a multiple of J
+    xp = jnp.pad(x, (0, mp * j - x.shape[0])) if mp * j > x.shape[0] \
+        else x[: mp * j]
+    lanes = xp.reshape(mp, j).T      # (J, M') : lanes[r, a] = x[a*J + r]
+    wp = jnp.pad(w, (0, q * j - k)).reshape(q, j).T   # (J, Q)
+    out = lax.conv_general_dilated(
+        lanes[None], wp[None].astype(x.dtype),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=x.dtype,
+    )
+    return out[0, 0, :m]
+
+
+def _rconv_blocked(x: jnp.ndarray, w: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """Stride-1 conv as a blocked im2col matmul: rows of `block` outputs
+    against a banded (S*block, block) tap matrix on the MXU."""
+    k = w.shape[0]
+    m = x.shape[0] - k + 1
+    a = -(-m // block)               # row count
+    s = -(-(block + k - 1) // block)  # shifted copies needed
+    need = (a + s - 1) * block
+    xp = jnp.pad(x, (0, need - x.shape[0])) if need > x.shape[0] else x[:need]
+    base = xp.reshape(a + s - 1, block)
+    frames = jnp.concatenate([base[i:i + a] for i in range(s)], axis=1)  # (A, S*B)
+    # banded tap matrix H[t, b] = w[t - b] for 0 <= t-b < K
+    d = (jnp.arange(s * block)[:, None] - jnp.arange(block)[None, :])
+    mask = (d >= 0) & (d < k)
+    wj = jnp.asarray(w, dtype=x.dtype)
+    h = jnp.where(mask, jnp.take(wj, jnp.clip(d, 0, k - 1)), 0)
+    out = jnp.dot(frames, h, preferred_element_type=x.dtype)
+    return out.reshape(-1)[:m]
+
+
+_BLOCKED_MIN = 1 << 20
+
+
+def _rconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """Real 1-D VALID cross-correlation with stride (kernel not flipped),
+    dispatched to a TPU-friendly lowering by size/stride."""
+    if stride > 1:
+        return _rconv_polyphase(x, w, stride)
+    if x.shape[0] >= _BLOCKED_MIN:
+        return _rconv_blocked(x, w)
+    return _rconv_direct(x, w, stride)
 
 
 def conv_valid(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:

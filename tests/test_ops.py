@@ -33,7 +33,8 @@ class TestFir:
         out_len = resample.decim_count(5000, off, 34)
         dec, _ = fir.fir_decimate(jnp.array(x), jnp.array(b),
                                   fir.ones_history(151, jnp.complex128), off, out_len, 34)
-        assert np.array_equal(np.array(dec), np.array(full)[off::34])
+        # polyphase summation order differs from the direct conv by fp rounding
+        assert np.max(np.abs(np.array(dec) - np.array(full)[off::34])) < 1e-12
 
     def test_zero_phase_matches_filtfilt(self, rng):
         b = ss.windows.blackmanharris(151)
