@@ -30,6 +30,20 @@ def envelope(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(analytic(x))
 
 
+def envelope_lowpass(x: jnp.ndarray, fs: float, cutoff: float,
+                     state=None):
+    """AM demodulation by low-pass filtering |x| (`demod_amFLT`,
+    ref demod_am.py:35-62): Butterworth LP over the magnitude, with carried
+    state for chunked streams. Returns (envelope, new_state)."""
+    from .iir import IirFilter
+    filt = IirFilter.design_butter(fs, cutoff, order=6, kind="lowpass")
+    if state is None:
+        state = filt.initial_state_step(
+            jnp.float64 if x.dtype in (jnp.float64, jnp.complex128)
+            else jnp.float32)
+    return filt.apply(jnp.abs(x), state)
+
+
 def envelope_blocked(x: jnp.ndarray, block: int) -> jnp.ndarray:
     """Envelope per fixed-size block with no cross-block state, matching the
     reference's chunked AM demod (ref decode_noaa.py:644-653, block=240000).

@@ -1,0 +1,115 @@
+"""Chainable Stream API, filter facade, AM-LP demod, median, checkpoint/resume."""
+import numpy as np
+import pytest
+import scipy.signal as ss
+import jax.numpy as jnp
+
+from directdemod_tpu import constants as K
+from directdemod_tpu.io.sources import ArraySource
+from directdemod_tpu.ops import am, filters
+from directdemod_tpu.stream import checkpoint
+from directdemod_tpu.stream.api import Stream
+from directdemod_tpu.stream.plan import plan_blocks
+from directdemod_tpu.models.frontend import DdcFm
+from directdemod_tpu.ops import design
+
+FS = 2048000
+
+
+@pytest.fixture(scope="module")
+def capture():
+    rng = np.random.default_rng(21)
+    n = 400_000
+    t = np.arange(n) / FS
+    x = (np.exp(1j * (2 * np.pi * 30000 * t + 3 * np.sin(2 * np.pi * 700 * t)))
+         + 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
+    return x.astype(np.complex128)
+
+
+def test_stream_chain_matches_pipeline(capture):
+    src = ArraySource(capture, FS)
+    audio, rate = (Stream(src, dtype=jnp.complex128)
+                   .shift(30000)
+                   .filter(filters.blackman_harris(151))
+                   .bw_limit(60000)
+                   .fm_demod()
+                   .run(block_size=150_000))
+    fused, rate2 = (Stream(src, dtype=jnp.complex128)
+                    .shift(30000)
+                    .filter(filters.blackman_harris(151))
+                    .bw_limit(60000)
+                    .fm_demod()
+                    .run_fused(block_size=150_000))
+    assert rate == rate2 == 60235
+    assert np.max(np.abs(audio - fused)) < 1e-9
+
+
+def test_stream_butter_and_apply(capture):
+    src = ArraySource(capture[:100_000], FS)
+    out, rate = (Stream(src, dtype=jnp.complex128)
+                 .filter(filters.butter(FS, 60000, n=6, kind=K.FLT_LP))
+                 .apply(jnp.abs)
+                 .run())
+    assert rate == FS and len(out) == 100_000 and np.all(np.isfinite(out))
+
+
+def test_filters_facade_validation():
+    with pytest.raises(ValueError):
+        filters.remez(1000, [], [])
+    with pytest.raises(ValueError):
+        filters.remez(1000, [[0, 600]], [1])
+    with pytest.raises(ValueError):
+        filters.butter(1000, 100, kind=K.FLT_BP)
+    with pytest.raises(ValueError):
+        filters.butter(1000, 100, kind=99)
+
+
+def test_median_filter_matches_scipy(rng):
+    x = rng.standard_normal(501)
+    for n in (3, 5, 9):
+        ours = np.asarray(filters.median_filter(jnp.asarray(x), n))
+        ref = ss.medfilt(x, n)
+        assert np.allclose(ours, ref, atol=1e-12), n
+
+
+def test_envelope_lowpass_matches_reference_formula(rng):
+    """demod_amFLT == butter-LP of |sig| with the zi seed (ref demod_am.py:35-62)."""
+    x = rng.standard_normal(20000) + 1j * rng.standard_normal(20000)
+    b, a = ss.butter(6, 1000 / (0.5 * 60000))
+    ref, _ = ss.lfilter(b, a, np.abs(x), zi=ss.lfilter_zi(b, a))
+    ours, _ = am.envelope_lowpass(jnp.asarray(x), 60000, 1000)
+    assert np.max(np.abs(np.asarray(ours) - ref)) < 1e-6
+
+
+def test_checkpoint_resume_mid_stream(capture, tmp_path):
+    src = ArraySource(capture, FS)
+    fe = DdcFm(FS, 30000, design.blackmanharris(151), 60000, fm=True)
+    blocks = plan_blocks(len(capture), 100_000)
+
+    # full run
+    state = fe.init_state(jnp.complex128)
+    full = []
+    for (s, e) in blocks:
+        y, state = fe.process_block(jnp.asarray(src.read(s, e)), state, s)
+        full.append(np.asarray(y))
+    full = np.concatenate(full)
+
+    # run half, checkpoint, restore into a fresh process-alike, finish
+    state = fe.init_state(jnp.complex128)
+    out1 = []
+    for (s, e) in blocks[:2]:
+        y, state = fe.process_block(jnp.asarray(src.read(s, e)), state, s)
+        out1.append(np.asarray(y))
+    ck = str(tmp_path / "stream.ckpt.npz")
+    checkpoint.save(ck, state, blocks[2][0], meta={"decoder": "noaa"})
+
+    st2, pos, meta = checkpoint.restore(ck, fe.init_state(jnp.complex128))
+    assert pos == blocks[2][0] and meta["decoder"] == "noaa"
+    out2 = []
+    for (s, e) in blocks:
+        if s < pos:
+            continue
+        y, st2 = fe.process_block(jnp.asarray(src.read(s, e)), st2, s)
+        out2.append(np.asarray(y))
+    resumed = np.concatenate(out1 + out2)
+    assert np.array_equal(resumed, full)
