@@ -26,6 +26,7 @@ from .. import constants as K
 from ..ops import correlate as corr_ops
 from ..ops import crc, design, fir, iir, peaks, resample as rs
 from ..stream import plan as plan_mod
+from ..utils import hostio
 from .frontend import DdcFm
 
 log = logging.getLogger(__name__)
@@ -69,9 +70,9 @@ class Afsk1200Decoder:
         state = fe.init_state(self.dtype)
         cs = []
         for (s, e) in plan_mod.plan_blocks(self.src.length):
-            x = jnp.asarray(self.src.read(s, e), dtype=self.dtype)
+            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             c, state = fe.process_block(x, state, s)
-            cs.append(np.asarray(c))
+            cs.append(hostio.device_get(c))
         c = np.concatenate(cs)
         audio = np.angle(c[1:] * np.conj(c[:-1]) * fe.rot).astype(np.float32)
         return audio, fe.out_rate

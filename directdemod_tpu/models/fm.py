@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..constants import PROC_CHUNKSIZE
 from ..ops import design, resample as rs
 from ..stream import plan as plan_mod
+from ..utils import hostio
 from .frontend import DdcFm
 
 
@@ -41,7 +42,7 @@ class FmDecoder:
         j2 = 1 if self.strict else max(1, int(decim_rate // self.audio_freq))
         out_rate = self.audio_freq if self.strict else int(decim_rate / j2)
         for (s, e) in plan_mod.plan_blocks(self.src.length, PROC_CHUNKSIZE):
-            x = jnp.asarray(self.src.read(s, e), dtype=self.dtype)
+            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             y, state = fe.process_block(x, state, s)
             if self.strict:
                 y = rs.fft_resample(y, int(self.audio_freq * y.shape[0] / decim_rate))

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..constants import PROC_CHUNKSIZE
 from ..ops import fir, resample as rs
 from ..stream import plan as plan_mod
+from ..utils import hostio
 
 
 @dataclass(eq=False)
@@ -86,7 +87,7 @@ class DdcFm:
 
     # ---------------------------------------------------------------- chunk loop
     def init_state(self, dtype=jnp.complex64):
-        hist = jnp.asarray(self.hist0, dtype=dtype)
+        hist = hostio.device_put(self.hist0, dtype=dtype)
         return hist, jnp.zeros((1,), dtype=dtype)
 
     def block_out_len(self, start: int, n: int) -> int:
@@ -114,7 +115,7 @@ class DdcFm:
         state = self.init_state(dtype)
         outs = []
         for (s, e) in plan_mod.plan_blocks(source.length, block_size):
-            x = jnp.asarray(source.read(s, e), dtype=dtype)
+            x = hostio.device_put(source.read(s, e), dtype=dtype)
             y, state = self.process_block(x, state, s)
-            outs.append(np.asarray(y))
+            outs.append(hostio.device_get(y))
         return np.concatenate(outs), self.out_rate

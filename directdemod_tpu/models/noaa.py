@@ -33,6 +33,7 @@ from ..ops import am as am_ops
 from ..ops import correlate as corr_ops
 from ..ops import design, fir, fm as fm_ops, iir, peaks, resample as rs
 from ..stream import plan as plan_mod
+from ..utils import hostio
 from .frontend import DdcFm
 
 log = logging.getLogger(__name__)
@@ -81,7 +82,7 @@ class NoaaDecoder:
         outs = []
         off2 = 0
         for (s, e) in plan_mod.plan_blocks(self.src.length):
-            x = jnp.asarray(self.src.read(s, e), dtype=self.dtype)
+            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             y, state = fe.process_block(x, state, s)
             if strict:
                 num = int(target_rate * y.shape[0] / decim_rate)
@@ -241,7 +242,7 @@ class NoaaDecoder:
             if not wins:
                 results.append(([], [], []))
                 continue
-            batch = jnp.asarray(np.stack(wins), dtype=self.dtype)
+            batch = hostio.device_put(np.stack(wins), dtype=self.dtype)
             env = _accurate_window_envelope(batch, self.offset, fs)
             env_np = np.asarray(env)
 

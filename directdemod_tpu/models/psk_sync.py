@@ -32,6 +32,7 @@ from ..ops import correlate as corr_ops
 from ..ops import iir, nco
 from ..ops.pll import PskParams, initial_state, symbol_scan
 from ..stream import plan as plan_mod
+from ..utils import hostio
 
 log = logging.getLogger(__name__)
 
@@ -88,7 +89,7 @@ class PskSyncDetector:
         p, cfg = self.p, self.cfg
         lp = iir.IirFilter.design_butter(self.src.sampFreq, self.bw, order=6,
                                          kind="lowpass")
-        lp_state = lp.initial_state_step(jnp.complex64)
+        lp_state = lp.initial_state_step(jnp.float32).astype(jnp.complex64)
         scan_state = initial_state(p, len(cfg.sym_sync))
         sync_j = jnp.asarray(cfg.sym_sync, jnp.float32)
         sync1_j = jnp.asarray(cfg.sym_sync_alt, jnp.float32)
@@ -109,7 +110,7 @@ class PskSyncDetector:
 
         plan = plan_mod.plan_blocks(self.src.length, PROC_CHUNKSIZE)
         for ci, (s, e) in enumerate(plan):
-            x = jnp.asarray(self.src.read(s, e), dtype=self.dtype)
+            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             # chunk-local NCO phase (reference quirk: no chunker)
             if self.freq_fn is not None:
                 freqs = self.freq_fn(ci, len(plan), e - s)
@@ -139,7 +140,7 @@ class PskSyncDetector:
                 anchor=scan_state.anchor - jnp.int32(e - s))
 
             # pass 2 incremental processing with available stream
-            xs = np.asarray(x)
+            xs = hostio.device_get(x)
             stream = np.concatenate([tail, xs])
             stream_start = tail_start
             max_syncs = self._drain_corr_jobs(

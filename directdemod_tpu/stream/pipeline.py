@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..constants import PROC_CHUNKSIZE
 from ..ops import nco, fir, resample as rs, fm as fm_ops, iir as iir_ops
+from ..utils import hostio
 from . import plan as plan_mod
 
 
@@ -103,9 +104,9 @@ class Butter(StreamOp):
     filt: iir_ops.IirFilter
 
     def init_state(self, dtype):
-        return self.filt.initial_state_step(
-            jnp.float64 if dtype in (jnp.float64, jnp.complex128) else jnp.float32
-        ).astype(dtype)
+        real = self.filt.initial_state_step(
+            jnp.float64 if dtype in (jnp.float64, jnp.complex128) else jnp.float32)
+        return real.astype(dtype)   # eager cast on device, not a complex put
 
     def apply(self, x, state, aux, meta):
         return self.filt.apply(x, state)
@@ -278,12 +279,12 @@ class Pipeline:
         states = self.init_states()
         outs = []
         for (s, e) in plan_mod.plan_blocks(source.length, block_size):
-            x = jnp.asarray(source.read(s, e), dtype=self.dtype)
+            x = hostio.device_put(source.read(s, e), dtype=self.dtype)
             metas, auxs, _ = self.block_metas(s, e - s)
             step = self._step_fn(metas)
             y, states = step(x, states, auxs)
             if collect:
-                outs.append(np.asarray(y))
+                outs.append(hostio.device_get(y))
         if collect:
             return np.concatenate(outs) if outs else np.empty(0), self.out_rate
         return None, self.out_rate

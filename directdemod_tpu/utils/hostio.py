@@ -1,0 +1,61 @@
+"""Host<->device transfer shims.
+
+The axon TPU tunnel (single-chip dev attach) cannot transfer complex64 buffers
+in either direction (UNIMPLEMENTED), and one failed transfer poisons the
+client session. Complex *compute* on device is fine. So every boundary
+crossing goes through float32:
+
+  * put: upload the interleaved float32 view, combine to complex in a jitted
+    kernel (output stays device-resident);
+  * get: split real/imag into one stacked float32 array in a jitted kernel,
+    transfer that, recombine on host.
+
+On CPU (tests) the shims pass straight through. The detour costs one extra
+device-side copy, negligible against the transfer itself.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _needs_shim() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@jax.jit
+def _combine_f32(v):
+    return lax.complex(v[..., 0::2], v[..., 1::2])
+
+
+@jax.jit
+def _pack_c64(c):
+    return jnp.stack([jnp.real(c), jnp.imag(c)])
+
+
+def device_put(x: np.ndarray, dtype=None, sharding=None):
+    """Boundary-safe jnp.asarray for 1-D arrays (complex or real)."""
+    x = np.asarray(x)
+    want = jnp.dtype(dtype) if dtype is not None else x.dtype
+    if _needs_shim() and np.issubdtype(want, np.complexfloating):
+        xc = x.astype(np.complex64) if x.dtype != np.complex64 else x
+        v = np.ascontiguousarray(xc).view(np.float32)
+        if sharding is not None:
+            vd = jax.device_put(v, sharding)
+            return jax.jit(_combine_f32.__wrapped__,
+                           out_shardings=sharding)(vd)
+        return _combine_f32(jnp.asarray(v))
+    arr = jnp.asarray(x, dtype=dtype)
+    return jax.device_put(arr, sharding) if sharding is not None else arr
+
+
+def device_get(y) -> np.ndarray:
+    """Boundary-safe np.asarray for device arrays (any shape)."""
+    if isinstance(y, np.ndarray):
+        return y
+    if _needs_shim() and jnp.iscomplexobj(y):
+        packed = np.asarray(_pack_c64(y))
+        return (packed[0] + 1j * packed[1]).astype(np.complex64)
+    return np.asarray(y)
