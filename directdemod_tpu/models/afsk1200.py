@@ -67,12 +67,13 @@ class Afsk1200Decoder:
         """
         fe = DdcFm(self.src.sampFreq, self.offset,
                    design.blackmanharris(151), self.bw, fm=False)
+        from ..io.feeder import BlockFeeder
         state = fe.init_state(self.dtype)
         cs = []
-        for (s, e) in plan_mod.plan_blocks(self.src.length):
-            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
-            c, state = fe.process_block(x, state, s)
-            cs.append(hostio.device_get(c))
+        with BlockFeeder(self.src, K.PROC_CHUNKSIZE, dtype=self.dtype) as feeder:
+            for (s, e, c_in) in feeder:
+                c, state = fe.process_block(c_in, state, s)
+                cs.append(hostio.device_get(c))
         c = np.concatenate(cs)
         audio = np.angle(c[1:] * np.conj(c[:-1]) * fe.rot).astype(np.float32)
         return audio, fe.out_rate

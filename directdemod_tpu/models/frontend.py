@@ -111,11 +111,13 @@ class DdcFm:
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
                 dtype=jnp.complex64):
-        """Full chunked run; returns (output ndarray, out_rate)."""
+        """Full chunked run with a double-buffered host feed; returns
+        (output ndarray, out_rate)."""
+        from ..io.feeder import BlockFeeder
         state = self.init_state(dtype)
         outs = []
-        for (s, e) in plan_mod.plan_blocks(source.length, block_size):
-            x = hostio.device_put(source.read(s, e), dtype=dtype)
-            y, state = self.process_block(x, state, s)
-            outs.append(hostio.device_get(y))
+        with BlockFeeder(source, block_size, dtype=dtype) as feeder:
+            for (s, e, x) in feeder:
+                y, state = self.process_block(x, state, s)
+                outs.append(hostio.device_get(y))
         return np.concatenate(outs), self.out_rate

@@ -78,11 +78,12 @@ class NoaaDecoder:
         j2 = int(decim_rate // target_rate) if not strict else 1
         out_rate = int(decim_rate / j2) if not strict else target_rate
 
+        from ..io.feeder import BlockFeeder
         state = fe.init_state(self.dtype)
         outs = []
         off2 = 0
-        for (s, e) in plan_mod.plan_blocks(self.src.length):
-            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
+        feeder = BlockFeeder(self.src, K.PROC_CHUNKSIZE, dtype=self.dtype)
+        for (s, e, x) in feeder:
             y, state = fe.process_block(x, state, s)
             if strict:
                 num = int(target_rate * y.shape[0] / decim_rate)
