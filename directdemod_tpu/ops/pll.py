@@ -261,3 +261,53 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
         return new, out
 
     return lax.scan(step, state, None, length=n_events)
+
+
+def segment_plan(n: int, n_segments: int, warmup_symbols: int,
+                 symbol_period: float) -> list[tuple[int, int, int]]:
+    """(start, end, scan_from) spans for block-parallel PLL processing.
+
+    Each segment owns an equal slice of the stream but starts scanning
+    `warmup_symbols` earlier (clamped at 0) so AGC/Costas/Gardner re-lock
+    before the owned region -- the same transient tolerance the reference
+    accepts at its own chunk boundaries (SURVEY 2.4). Segment 0 has no warmup.
+    """
+    per = -(-n // n_segments)
+    warm = int(warmup_symbols * symbol_period)
+    plan = []
+    for i in range(n_segments):
+        s = i * per
+        e = min(n, s + per)
+        plan.append((s, e, max(0, s - warm)))
+    return plan
+
+
+def symbol_scan_segments(p: PskParams, x: jnp.ndarray, sync, sync1,
+                         n_segments: int, warmup_symbols: int = 2000):
+    """Run `symbol_scan` independently over overlapping segments (vmapped --
+    the parallel/approximate mode; exact sequential mode is `symbol_scan`).
+
+    Returns per-segment SymbolOut plus an `owned` mask that drops warmup
+    symbols (those whose A-sample falls before the segment's owned region).
+    a_idx values are global. Suitable for vmapping over devices/shards.
+    """
+    n = int(x.shape[0])
+    plan = segment_plan(n, n_segments, warmup_symbols, p.symbol_period)
+    seg_len = max(e - sf for (_, e, sf) in plan)
+    starts = jnp.asarray([sf for (_, _, sf) in plan], jnp.int32)
+    owned_from = jnp.asarray([s for (s, _, _) in plan], jnp.int32)
+    owned_to = jnp.asarray([e for (_, e, _) in plan], jnp.int32)
+
+    xp = jnp.pad(x, (0, seg_len))
+    segs = jax.vmap(lambda s0: lax.dynamic_slice(xp, (s0,), (seg_len,)))(starts)
+
+    slen = jnp.asarray(sync).shape[0]
+    init = initial_state(p, slen)
+    init_b = jax.tree.map(lambda v: jnp.broadcast_to(v, (n_segments,) + v.shape),
+                          init)
+    scan_f = lambda xs, st: symbol_scan(p, xs, st, sync, sync1)
+    _, outs = jax.vmap(scan_f)(segs, init_b)
+    a_global = outs.a_idx + starts[:, None]
+    owned = outs.valid & (a_global >= owned_from[:, None]) \
+        & (a_global < owned_to[:, None])
+    return outs._replace(a_idx=a_global), owned

@@ -78,3 +78,47 @@ def test_meteor_end_to_end():
     d = np.diff([s for s in syncs])
     # spacing close to 0.11 s for at least one pair
     assert np.min(np.abs(d - spacing * FS)) < 0.05 * FS
+
+
+def test_segment_parallel_scan_agrees_after_warmup():
+    """Block-parallel PLL (per-shard scan + warmup halo, SURVEY 2.4's scaling
+    strategy) reproduces the sequential scan's hard decisions, modulo the
+    BPSK sign ambiguity each segment may lock into (which the sync detector
+    is invariant to by construction)."""
+    import jax.numpy as jnp
+    from directdemod_tpu.ops.pll import (PskParams, initial_state,
+                                         symbol_scan, symbol_scan_segments)
+    p = PskParams(fs=FS, sym_rate=12000, qpsk=False, agc_mean0=180.0,
+                  agc_gain_cap=20.0, costas_bw=0.05235833333 * 6,
+                  minsync_thresh=120.0)
+    rng = np.random.default_rng(0)
+    n = 2_000_000
+    nsym = int(n / (FS / 12000)) + 2
+    bits = rng.integers(0, 2, nsym) * 2 - 1
+    sym_idx = (np.arange(n) / (FS / 12000)).astype(int)
+    x = (bits[np.clip(sym_idx, 0, nsym - 1)] * 90.0
+         * np.exp(1j * 2 * np.pi * 250 * np.arange(n) / FS)).astype(np.complex64)
+    sync = jnp.zeros(330, jnp.float32)
+
+    _, outs = symbol_scan(p, jnp.asarray(x), initial_state(p, 330), sync, sync)
+    v = np.asarray(outs.valid)
+    seq_idx = np.asarray(outs.a_idx)[v]
+    seq_bits = np.asarray(outs.corrected)[v].real > 0
+
+    outs2, owned = symbol_scan_segments(p, jnp.asarray(x), sync, sync, 4,
+                                        warmup_symbols=1500)
+    ow, ai2 = np.asarray(owned), np.asarray(outs2.a_idx)
+    cb2 = np.asarray(outs2.corrected).real > 0
+    total_owned = 0
+    for si in range(4):
+        m = ow[si]
+        pairs = []
+        for a, b in zip(ai2[si][m], cb2[si][m]):
+            j = np.clip(np.searchsorted(seq_idx, a), 1, len(seq_idx) - 1)
+            best = j if abs(int(seq_idx[j]) - a) <= abs(int(seq_idx[j - 1]) - a) else j - 1
+            if abs(int(seq_idx[best]) - int(a)) <= 3:
+                pairs.append(seq_bits[best] == b)
+        agr = float(np.mean(pairs))
+        total_owned += len(pairs)
+        assert max(agr, 1 - agr) > 0.995, (si, agr)
+    assert total_owned > 0.95 * len(seq_idx)
