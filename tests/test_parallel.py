@@ -51,3 +51,18 @@ def test_sharded_matches_sequential_complex_stream(capture):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(time=3, channel=2)
+
+
+def test_multichannel_matches_per_channel(capture):
+    """One-pass multi-channel DDC == independent per-channel runs."""
+    from directdemod_tpu.models.multichannel import MultiDdcFm
+    src = ArraySource(capture[:400_000], FS)
+    freqs = (30000.0, -12000.0, 5000.0)
+    multi = MultiDdcFm(FS, freqs, design.blackmanharris(151), 60000, fm=True)
+    got, rate = multi.process(src, block_size=150_000, dtype=jnp.complex128)
+    assert got.shape[0] == 3
+    for ci, f in enumerate(freqs):
+        fe = DdcFm(FS, f, design.blackmanharris(151), 60000, fm=True)
+        ref, r2 = fe.process(src, block_size=150_000, dtype=jnp.complex128)
+        assert r2 == rate
+        assert np.max(np.abs(got[ci] - ref)) < 1e-9, ci

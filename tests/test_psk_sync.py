@@ -122,3 +122,28 @@ def test_segment_parallel_scan_agrees_after_warmup():
         total_owned += len(pairs)
         assert max(agr, 1 - agr) > 0.995, (si, agr)
     assert total_owned > 0.95 * len(seq_idx)
+
+
+def test_funcube_doppler_corrected(tmp_path):
+    """--freqshift path: the waterfall tracker measures the channel's true
+    offset error and the slew-limited ramp feeds the NCO
+    (ref decode_funcube.py:204-228 + sandbox/frequency_shift.py)."""
+    from directdemod_tpu.io.sources import IQDat
+
+    spacing = K.FUNCUBE_FRAME_SPACING_S
+    err = 3000.0                       # uncompensated Doppler error
+    cap = _bpsk_capture([1.5, 1.5 + spacing], dur_s=1.5 + spacing + 1.0,
+                        offset_hz=5000.0, carrier_err=err)
+    raw = np.empty(2 * len(cap), np.uint8)
+    raw[0::2] = np.clip(np.round(cap.real + 127.5), 0, 255)
+    raw[1::2] = np.clip(np.round(cap.imag + 127.5), 0, 255)
+    p = str(tmp_path / "fc.dat")
+    raw.tofile(p)
+    src = IQDat(p, FS)
+
+    center, chan = 145_865_000, 145_870_000   # chan-center=5000 = nominal offset
+    dec = FuncubeDecoder(src, 5000, center_frequency=center, signal_freq=chan,
+                         corrfreq=True)
+    syncs = dec.get_syncs()
+    assert dec.useful == 1
+    assert len(syncs) >= 1
