@@ -243,18 +243,24 @@ class NoaaDecoder:
             if not wins:
                 results.append(([], [], []))
                 continue
-            batch = hostio.device_put(np.stack(wins), dtype=self.dtype)
-            env = _accurate_window_envelope(batch, self.offset, fs)
-            env_np = np.asarray(env)
-
             needle = corr_ops.apt_needle(bits, fs, K.NOAA_T,
                                          positive=use_norm_correlate)
             nj = jnp.asarray(needle, dtype=jnp.float32)
-            filt = jax.vmap(lambda r: fir.fir_zero_phase(r, design.hamming(492)))(env)
-            cor = (jax.vmap(lambda r: corr_ops.norm_correlate(r, nj))(filt)
-                   if use_norm_correlate
-                   else jax.vmap(lambda r: corr_ops.correlate_same(r, nj))(filt))
-            cor_np = np.asarray(cor)
+            env_rows, cor_rows = [], []
+            # group-batched so arbitrarily long captures stay within HBM
+            for g0 in range(0, len(wins), 64):
+                batch = hostio.device_put(np.stack(wins[g0:g0 + 64]),
+                                          dtype=self.dtype)
+                env = _accurate_window_envelope(batch, self.offset, fs)
+                filt = jax.vmap(
+                    lambda r: fir.fir_zero_phase(r, design.hamming(492)))(env)
+                cor = (jax.vmap(lambda r: corr_ops.norm_correlate(r, nj))(filt)
+                       if use_norm_correlate
+                       else jax.vmap(lambda r: corr_ops.correlate_same(r, nj))(filt))
+                env_rows.append(np.asarray(env))
+                cor_rows.append(np.asarray(cor))
+            env_np = np.concatenate(env_rows)
+            cor_np = np.concatenate(cor_rows)
 
             det, quals, tsyncs = [], [], []
             ln = len(needle)
