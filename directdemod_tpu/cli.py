@@ -13,10 +13,7 @@ import getopt
 import json
 import logging
 import sys
-from datetime import datetime
 from time import gmtime, strftime
-
-import numpy as np
 
 from . import constants
 from .io import sinks, sources

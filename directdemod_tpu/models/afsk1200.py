@@ -23,9 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import constants as K
-from ..ops import correlate as corr_ops
-from ..ops import crc, design, fir, iir, peaks, resample as rs
-from ..stream import plan as plan_mod
+from ..ops import crc, design, fir, iir, peaks
 from ..utils import hostio
 from .frontend import DdcFm
 

@@ -25,17 +25,14 @@ reference's chunked semantics); parity is enforced in tests/test_frontend.py.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..constants import PROC_CHUNKSIZE
 from ..ops import fir, resample as rs
-from ..stream import plan as plan_mod
 from ..utils import hostio
 
 

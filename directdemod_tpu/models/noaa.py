@@ -28,11 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from .. import constants as K
-from ..io.sources import ArraySource
 from ..ops import am as am_ops
 from ..ops import correlate as corr_ops
 from ..ops import design, fir, fm as fm_ops, iir, peaks, resample as rs
-from ..stream import plan as plan_mod
 from ..utils import hostio
 from .frontend import DdcFm
 

@@ -8,7 +8,6 @@ blocks plus one remainder block.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

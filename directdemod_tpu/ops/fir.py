@@ -17,7 +17,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

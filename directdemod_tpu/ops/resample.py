@@ -11,7 +11,6 @@ Behavioral references:
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 
