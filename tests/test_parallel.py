@@ -66,3 +66,18 @@ def test_multichannel_matches_per_channel(capture):
         ref, r2 = fe.process(src, block_size=150_000, dtype=jnp.complex128)
         assert r2 == rate
         assert np.max(np.abs(got[ci] - ref)) < 1e-9, ci
+
+
+def test_stream_run_sharded(capture):
+    """Chainable API end of the mesh path."""
+    from directdemod_tpu.stream.api import Stream
+    src = ArraySource(capture, FS)
+    chain = (Stream(src, dtype=jnp.complex128)
+             .shift(30000)
+             .filter(design.blackmanharris(151))
+             .bw_limit(60000)
+             .fm_demod())
+    ref, rate = chain.run_fused(block_size=100_000)
+    got, rate2 = chain.run_sharded(make_mesh(time=8), block_size=100_000)
+    assert rate == rate2
+    assert np.max(np.abs(got - ref)) < 1e-9
