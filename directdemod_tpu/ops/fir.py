@@ -17,6 +17,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -76,14 +77,36 @@ def _rconv_blocked(x: jnp.ndarray, w: jnp.ndarray, block: int = 128) -> jnp.ndar
     return out.reshape(-1)[:m]
 
 
+def _rconv_fft(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 VALID correlation via FFT overlap-save -- the right lowering
+    once the kernel is long enough that im2col matmuls waste MXU cycles."""
+    k = w.shape[0]
+    m = x.shape[0] - k + 1
+    seg = 1
+    while seg < 4 * k:
+        seg *= 2
+    step = seg - k + 1
+    n_blk = -(-m // step)
+    xp = jnp.pad(x, (0, n_blk * step + k - 1 - x.shape[0]))
+    starts = jnp.arange(n_blk) * step
+    blocks = jax.vmap(lambda s0: lax.dynamic_slice(xp, (s0,), (seg,)))(starts)
+    wf = jnp.fft.rfft(w[::-1].astype(x.dtype), n=seg)
+    conv = jnp.fft.irfft(jnp.fft.rfft(blocks, n=seg, axis=-1) * wf,
+                         n=seg, axis=-1)
+    return conv[:, k - 1:].reshape(-1)[:m]
+
+
 _BLOCKED_MIN = 1 << 20
+_FFT_MIN_TAPS = 1024
 
 
 def _rconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """Real 1-D VALID cross-correlation with stride (kernel not flipped),
-    dispatched to a TPU-friendly lowering by size/stride."""
+    dispatched to a TPU-friendly lowering by size/stride/kernel length."""
     if stride > 1:
         return _rconv_polyphase(x, w, stride)
+    if w.shape[0] >= _FFT_MIN_TAPS and x.shape[0] >= 4 * w.shape[0]:
+        return _rconv_fft(x, w)
     if x.shape[0] >= _BLOCKED_MIN:
         return _rconv_blocked(x, w)
     return _rconv_direct(x, w, stride)

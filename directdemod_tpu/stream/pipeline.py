@@ -268,21 +268,34 @@ class Pipeline:
         return self._jit_cache[key]
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
-                collect: bool = True):
+                collect: bool = True, checkpoint_path: str | None = None,
+                resume: bool = False):
         """Run the chunk loop over a source (anything with .length/.read).
 
         Returns (output ndarray | None, out_rate). Mirrors the reference decode
         loops (e.g. ref decode_noaa.py:617-624) with the chunker KV replaced by
-        the explicit state pytree.
+        the explicit state pytree. With `checkpoint_path`, the state + position
+        are saved after every block; `resume=True` restarts from the saved
+        position (already-emitted output is the caller's to keep).
         """
+        from . import checkpoint as ckpt
         self.reset()
         states = self.init_states()
+        resume_from = 0
+        if resume and checkpoint_path is not None:
+            states, resume_from, _ = ckpt.restore(checkpoint_path, states)
         outs = []
         for (s, e) in plan_mod.plan_blocks(source.length, block_size):
+            if s < resume_from:
+                # advance host-side op bookkeeping (strict-resample counters)
+                self.block_metas(s, e - s)
+                continue
             x = hostio.device_put(source.read(s, e), dtype=self.dtype)
             metas, auxs, _ = self.block_metas(s, e - s)
             step = self._step_fn(metas)
             y, states = step(x, states, auxs)
+            if checkpoint_path is not None:
+                ckpt.save(checkpoint_path, states, e)
             if collect:
                 outs.append(hostio.device_get(y))
         if collect:

@@ -113,3 +113,21 @@ def test_checkpoint_resume_mid_stream(capture, tmp_path):
         out2.append(np.asarray(y))
     resumed = np.concatenate(out1 + out2)
     assert np.array_equal(resumed, full)
+
+
+def test_pipeline_checkpoint_roundtrip(capture, tmp_path):
+    from directdemod_tpu.stream.pipeline import Pipeline, Shift, Filter, BwLim, FmDemod
+    src = ArraySource(capture, FS)
+    pipe = Pipeline([Shift(30000), Filter(filters.blackman_harris(151)),
+                     BwLim(60000), FmDemod()], FS, dtype=jnp.complex128)
+    full, rate = pipe.process(src, block_size=100_000)
+    ck = str(tmp_path / "pipe.ckpt.npz")
+    # process two blocks with checkpointing, then resume in a fresh pipeline
+    blocks_out, _ = pipe.process(ArraySource(capture[:200_000], FS),
+                                 block_size=100_000, checkpoint_path=ck)
+    pipe2 = Pipeline([Shift(30000), Filter(filters.blackman_harris(151)),
+                      BwLim(60000), FmDemod()], FS, dtype=jnp.complex128)
+    rest, _ = pipe2.process(src, block_size=100_000, checkpoint_path=ck,
+                            resume=True)
+    resumed = np.concatenate([blocks_out, rest])
+    assert np.array_equal(resumed, full)

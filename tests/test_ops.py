@@ -171,3 +171,15 @@ class TestNco:
                                 jnp.array(anc)))
         err = np.abs(ours - ref)
         assert np.max(err) < 2e-3  # ~ -60 dB even at sample index 2e9
+
+
+class TestFftOverlapSave:
+    def test_long_kernel_matches_direct(self, rng):
+        from directdemod_tpu.ops.fir import _rconv_fft, _rconv_direct
+        import jax.numpy as jnp
+        x = rng.standard_normal(50000)
+        w = rng.standard_normal(2048)
+        a = np.asarray(_rconv_fft(jnp.asarray(x), jnp.asarray(w)))
+        b = np.asarray(_rconv_direct(jnp.asarray(x), jnp.asarray(w)))
+        assert a.shape == b.shape
+        assert np.max(np.abs(a - b)) < 1e-9
