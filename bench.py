@@ -69,12 +69,19 @@ def _tpu_chain_msamps(block: int = 20_000_000, iters: int = 10) -> tuple[float, 
 
 
 def main() -> int:
-    try:
-        value, device = _tpu_chain_msamps()
-    except Exception as e:  # keep the driver record useful even on failure
+    last_err = None
+    value = device = None
+    for attempt in range(3):           # the dev tunnel wedges transiently
+        try:
+            value, device = _tpu_chain_msamps()
+            break
+        except Exception as e:
+            last_err = e
+            time.sleep(45)
+    if value is None:
         print(json.dumps({"metric": "iq_chain_throughput", "value": 0.0,
                           "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-                          "error": f"{type(e).__name__}: {e}"}))
+                          "error": f"{type(last_err).__name__}: {last_err}"}))
         return 1
     try:
         ref = _reference_chain_msamps()
