@@ -1,0 +1,130 @@
+"""Two-process 'multi-host' run on CPU: each process owns half the capture's
+chunks, the sharded front-end runs over the global mesh, results must equal
+the sequential stream. This is the CI stand-in for a 2-host pod slice
+(SURVEY §4d)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from directdemod_tpu.models.frontend import DdcFm
+from directdemod_tpu.ops import design, fir, resample as rs
+from directdemod_tpu.parallel import distributed
+
+FS = 2048000
+L = 100_000
+N_CHUNKS = 8
+rng = np.random.default_rng(11)
+t = np.arange(N_CHUNKS * L) / FS
+x = (np.exp(1j*(2*np.pi*30000*t + 3*np.sin(2*np.pi*400*t)))
+     + 0.1*(rng.standard_normal(len(t)) + 1j*rng.standard_normal(len(t)))
+     ).astype(np.complex64)
+
+fe = DdcFm(FS, 30000, design.blackmanharris(151), 60000, fm=True)
+halo = len(fe.taps) - 1 + fe.stride
+mesh = jax.make_mesh((8,), ("time",), devices=jax.devices())
+
+# each process owns half the chunks
+my = slice(pid * 4, pid * 4 + 4)
+local = np.stack([x[i*L:(i+1)*L] for i in range(N_CHUNKS)])[my]
+chunks = distributed.global_wave(mesh, local)
+gidx = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("time")),
+    np.arange(N_CHUNKS, dtype=np.int32)[my])
+
+w0 = 2.0*np.pi*float(fe.freq)/float(fe.fs)
+hist0 = np.exp(1j*w0*np.arange(-halo, 0)).astype(np.complex64)
+
+def shard_body(localc, gl, tail_in):
+    tails = localc[:, -halo:]
+    left = lax.ppermute(tails[-1], "time", [(i, (i+1) % 8) for i in range(8)])
+    pos = lax.axis_index("time")
+    first = jnp.where(pos == 0, tail_in, left)
+    prev = jnp.concatenate([first[None], tails[:-1]], axis=0)
+    xh = jnp.concatenate([prev, localc], axis=1)
+
+    def chunk_fn(row, g):
+        J, k = fe.stride, len(fe.taps)
+        m_max = -(-L // J)
+        tm = jnp.asarray(fe.taps_mod, dtype=row.dtype)
+        w = tm[::-1]
+        m = (jnp.mod(g, J) * (L % J)) % J
+        off = ((J - m) % J).astype(jnp.int32)
+        need = (m_max - 1) * J + k
+        seg = lax.dynamic_slice(jnp.pad(row, (0, J)), (halo + off - (k-1),), (need,))
+        c = fir.conv_valid(seg, w, stride=J)
+        pseg = lax.dynamic_slice(row, (halo + off - J - (k-1),), (k,))
+        c_prev = jnp.sum(pseg * w)
+        rot = jnp.asarray(fe.rot, dtype=row.dtype)
+        prevc = jnp.concatenate([c_prev[None], c[:-1]])
+        return jnp.angle(c * jnp.conj(prevc) * rot)
+
+    return jax.vmap(chunk_fn)(xh, gl)
+
+step = jax.jit(jax.shard_map(shard_body, mesh=mesh,
+                             in_specs=(P("time", None), P("time"), P(None)),
+                             out_specs=P("time", None)))
+y = step(chunks, gidx, jnp.asarray(hist0))
+rows = sorted(y.addressable_shards, key=lambda sh: sh.index[0].start or 0)
+out_rows = [np.asarray(sh.data).reshape(-1, np.asarray(sh.data).shape[-1])
+            for sh in rows]
+out_rows = np.concatenate(out_rows, axis=0)          # (4, m_max) in chunk order
+
+# sequential reference on this process's chunks
+from directdemod_tpu.io.sources import ArraySource
+ref_full, _ = fe.process(ArraySource(x, FS), block_size=L, dtype=jnp.complex64)
+# reassemble this process's span (chunk 0 drops one sample)
+lens = [rs.decim_count(L, rs.decim_phase(i*L, fe.stride), fe.stride) - (1 if i == 0 else 0)
+        for i in range(N_CHUNKS)]
+starts = np.cumsum([0] + lens)
+mine = []
+got_rows = []
+for local_i, g in enumerate(range(my.start, my.stop)):
+    off = rs.decim_phase(g*L, fe.stride)
+    cnt = rs.decim_count(L, off, fe.stride)
+    row = out_rows[local_i][:cnt]
+    if g == 0:
+        row = row[1:]          # first stream output has no discriminator pair
+    got_rows.append(row)
+    mine.append(ref_full[starts[g]:starts[g+1]])
+got = np.concatenate(got_rows)
+ref_mine = np.concatenate(mine)
+err = np.max(np.abs(got - ref_mine))
+assert err < 2e-3, err
+print(f"proc {pid}: OK err={err:.2e}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_run(tmp_path):
+    port = "12355"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid}: OK" in out
