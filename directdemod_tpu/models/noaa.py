@@ -32,6 +32,7 @@ from ..ops import am as am_ops
 from ..ops import correlate as corr_ops
 from ..ops import design, fir, fm as fm_ops, iir, peaks, resample as rs
 from ..utils import hostio
+from ..utils.profiling import Profiler
 from .frontend import DdcFm
 
 log = logging.getLogger(__name__)
@@ -63,6 +64,7 @@ class NoaaDecoder:
         self._color = None
         self._ch_id = (None, None)
         self._accurate = None
+        self.profiler = Profiler()     # per-stage Msamples/s (utils.profiling)
 
     # ------------------------------------------------------------- front end
     def _fm_audio(self, target_rate: int, strict: bool):
@@ -82,7 +84,8 @@ class NoaaDecoder:
         off2 = 0
         feeder = BlockFeeder(self.src, K.PROC_CHUNKSIZE, dtype=self.dtype)
         for (s, e, x) in feeder:
-            y, state = fe.process_block(x, state, s)
+            with self.profiler.stage("fm_frontend", e - s):
+                y, state = fe.process_block(x, state, s)
             if strict:
                 num = int(target_rate * y.shape[0] / decim_rate)
                 y = rs.fft_resample(y, num)
@@ -131,8 +134,9 @@ class NoaaDecoder:
             self._sync_rate = rate
             log.info("NOAA crude sync: correlating %d samples at %d Hz",
                      len(env), rate)
-            self._sync_a, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCA)
-            self._sync_b, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCB)
+            with self.profiler.stage("sync_correlate", 2 * len(env)):
+                self._sync_a, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCA)
+                self._sync_b, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCB)
             self._useful = self._usefulness()
         return [self._sync_a, self._sync_b]
 

@@ -80,3 +80,20 @@ def test_cli_bad_decoder_is_fenced(noaa_wav, tmp_path):
                    "-e", "99999999999", "-r", report, noaa_wav])
     assert rc == 0
     assert os.path.exists(report)
+
+
+def test_cli_noise_only_capture(tmp_path):
+    """No signal -> usefulness 0, no image files, clean exit."""
+    rng = np.random.default_rng(0)
+    n = FS  # 1 second of noise
+    iq = (0.3 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(np.complex64)
+    path = str(tmp_path / "SDRSharp_20170830_073907Z_137590000Hz_IQ.wav")
+    _write_wav(path, iq, scale=60.0)
+    report = str(tmp_path / "r.json")
+    out = str(tmp_path / "noise_out")
+    rc = cli.main(["-c", "137590000", "-f", "137620000", "-d", "noaa",
+                   "-o", out, "-r", report, path])
+    assert rc == 0
+    ch = json.load(open(report))["channels"][0]
+    assert ch["usefulness"] == 0
+    assert not os.path.exists(out + ".png")
