@@ -256,13 +256,16 @@ def _remez_pm(numtaps: int, bands, desired, fs: float = 1.0,
     r = (numtaps - 1) // 2 + 1          # number of cosine basis functions
     next_ = r + 1                        # number of extremal frequencies
 
-    # dense frequency grid restricted to the bands
-    grid_density = 16
+    # dense frequency grid restricted to the bands; each band gets points
+    # proportional to its width with a healthy floor so extremals can breathe
+    grid_density = 20
+    total_width = sum(bands[2 * i + 1] - bands[2 * i] for i in range(nb))
     grid = []
     band_of = []
     for i in range(nb):
         f0, f1 = bands[2 * i], bands[2 * i + 1]
-        npts = max(int(np.ceil((f1 - f0) * 2 * r * grid_density)), 8)
+        npts = max(int(np.ceil((f1 - f0) / max(total_width, 1e-12)
+                               * 2 * r * grid_density)), 4 * r // nb, 16)
         g = np.linspace(f0, f1, npts)
         grid.append(g)
         band_of.append(np.full(npts, i))
@@ -272,8 +275,23 @@ def _remez_pm(numtaps: int, bands, desired, fs: float = 1.0,
     wt = weight[band_of]
     ng = len(grid)
 
-    # initial extremal guess: uniformly spread over the grid
-    ext = np.round(np.linspace(0, ng - 1, next_)).astype(int)
+    # initial extremal guess: spread per band proportional to its point count
+    counts = np.bincount(band_of, minlength=nb)
+    alloc = np.maximum(np.round(counts / ng * next_).astype(int), 2)
+    while alloc.sum() > next_:
+        alloc[np.argmax(alloc)] -= 1
+    while alloc.sum() < next_:
+        alloc[np.argmax(counts - alloc)] += 1
+    ext_list = []
+    base = 0
+    for i in range(nb):
+        ext_list.append(np.round(np.linspace(base, base + counts[i] - 1,
+                                             alloc[i])).astype(int))
+        base += counts[i]
+    ext = np.unique(np.concatenate(ext_list))[:next_]
+    if len(ext) < next_:
+        extra = np.setdiff1d(np.arange(ng), ext)[: next_ - len(ext)]
+        ext = np.sort(np.concatenate([ext, extra]))
 
     x_grid = np.cos(2 * np.pi * grid)
 
