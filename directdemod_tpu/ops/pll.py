@@ -81,13 +81,16 @@ class SymbolOut(NamedTuple):
 
 def initial_state(p: PskParams, sync_len: int) -> PskState:
     f32 = jnp.float32
+    # complex zeros built on device (complex host->device puts are not
+    # available over the single-chip tunnel; see utils/hostio)
+    czero = jnp.zeros((), jnp.complex64)
     return PskState(
         stage=jnp.int32(0),
         anchor=jnp.int32(0),
         timing=f32(0.0),
-        g_b=jnp.complex64(0.0),
-        g_c=jnp.complex64(0.0),
-        agc_dc=jnp.complex64(0.0),
+        g_b=czero,
+        g_c=czero,
+        agc_dc=czero,
         agc_mean=f32(p.agc_mean0),
         phase=f32(0.0),
         freq=f32(0.001),

@@ -27,6 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import fir, resample as rs
 from ..stream import plan as plan_mod
+from ..utils import hostio
 from ..models.frontend import DdcFm
 
 
@@ -117,9 +118,10 @@ class ShardedDdcFm:
             if len(wave) < ndev:
                 break
             xs = np.stack([source.read(s, e) for (s, e) in wave])
-            chunks = jax.device_put(jnp.asarray(xs, dtype=dtype), spec)
+            chunks = hostio.device_put(xs, dtype=dtype, sharding=spec)
             gidx = jnp.arange(w0, w0 + ndev, dtype=jnp.int32)
-            y = np.asarray(self._wave(chunks, gidx, jnp.asarray(carry_tail)))
+            y = np.asarray(self._wave(chunks, gidx,
+                                      hostio.device_put(carry_tail)))
             for ci, (s, e) in enumerate(wave):
                 off = rs.decim_phase(s, fe.stride)
                 cnt = rs.decim_count(e - s, off, fe.stride)
@@ -131,13 +133,14 @@ class ShardedDdcFm:
         done_end = full[(len(full) // ndev) * ndev - 1][1] \
             if len(full) >= ndev else 0
         if done_end < source.length:
-            state = (jnp.asarray(carry_tail[-(len(fe.taps) - 1):]),
+            state = (hostio.device_put(carry_tail[-(len(fe.taps) - 1):],
+                                       dtype=dtype),
                      jnp.zeros(1, dtype=dtype))
             # recompute FM boundary value for continuity
             for (s, e) in plan:
                 if s < done_end:
                     continue
-                x = jnp.asarray(source.read(s, e), dtype=dtype)
+                x = hostio.device_put(source.read(s, e), dtype=dtype)
                 if s == 0:
                     state = fe.init_state(dtype)
                 else:
@@ -154,6 +157,6 @@ class ShardedDdcFm:
         J, k = fe.stride, len(fe.taps)
         off = rs.decim_phase(s, J)
         last_kept = s + off - J
-        seg = jnp.asarray(source.read(last_kept - k + 1, last_kept + 1),
-                          dtype=dtype)
+        seg = hostio.device_put(source.read(last_kept - k + 1, last_kept + 1),
+                                dtype=dtype)
         return jnp.sum(seg * jnp.asarray(fe.taps_mod[::-1], dtype=dtype))[None]
