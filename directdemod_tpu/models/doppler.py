@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils import hostio
+
 WINDOW = 2048 * 2 * 2
 
 
@@ -26,7 +28,7 @@ def _accumulated_rows(raw_bytes: np.ndarray, window: int, every: float):
         return np.empty((0, window))
     b = np.asarray(raw_bytes[: n_win * 2 * window], dtype=np.float32)
     iq = (b[0::2] - 127.0) + 1j * (b[1::2] - 127.0)
-    frames = jnp.asarray(iq.reshape(n_win, window), dtype=jnp.complex64)
+    frames = hostio.device_put(iq.reshape(n_win, window), dtype=jnp.complex64)
     mags = np.asarray(jnp.abs(jnp.fft.fft(frames, axis=-1)))
     rows = []
     acc = np.zeros(window)
