@@ -25,9 +25,10 @@ state, not through any truncated tail.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -174,9 +175,12 @@ class IirFilter:
                      + xb[-1, :np_last] @ jnp.asarray(Gp, dtype=rdt))
         return y, z_out
 
+    @partial(jax.jit, static_argnums=(0,))
     def apply(self, x: jnp.ndarray, z: jnp.ndarray
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Exact lfilter through the cascade; returns (y, z')."""
+        """Exact lfilter through the cascade; returns (y, z').
+        Jitted as one unit (the cascade is ~40 XLA ops; eager dispatch over
+        the remote-compile tunnel would pay per-op)."""
         n = int(x.shape[0])
         L = min(self.block, max(16, n))
         np_last = n - (-(-n // L) - 1) * L
@@ -191,6 +195,7 @@ class IirFilter:
             z_out.append(zo)
         return y, jnp.stack(z_out).reshape(-1)
 
+    @partial(jax.jit, static_argnums=(0,))
     def zero_phase(self, x: jnp.ndarray) -> jnp.ndarray:
         """scipy filtfilt(b, a, x) default 'pad' method (ref filters.py:73)."""
         b, a = self.ba()
