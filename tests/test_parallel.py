@@ -81,3 +81,33 @@ def test_stream_run_sharded(capture):
     got, rate2 = chain.run_sharded(make_mesh(time=8), block_size=100_000)
     assert rate == rate2
     assert np.max(np.abs(got - ref)) < 1e-9
+
+
+def test_sharded_sync_correlation_matches_sequential():
+    """Needle-halo sharded correlation + gathered adaptive threshold finds the
+    same APT syncs as the single-device path."""
+    from directdemod_tpu import constants as K
+    from directdemod_tpu.ops import correlate as C, peaks
+    from directdemod_tpu.parallel.correlate import sharded_find_sync_peaks
+    from tests.apt_synth import synthesize
+
+    iq, _ = synthesize(n_lines=12, snr_db=20)
+    # make a crude envelope-like real signal: |iq| beats won't have syncs, so
+    # instead decode the envelope the proper way via the NOAA front end
+    from directdemod_tpu.models.noaa import NoaaDecoder
+    from directdemod_tpu.io.sources import ArraySource
+    dec = NoaaDecoder(ArraySource(iq, FS), 30000)
+    audio, rate = dec._fm_audio(K.NOAA_CRUDESYNCSAMPRATE, strict=False)
+    env = dec._am_envelope(audio)
+
+    needle = C.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
+    seq = peaks.find_sync_peaks(
+        C.norm_correlate(jnp.asarray(env, jnp.float32),
+                         jnp.asarray(needle, jnp.float32)),
+        rate, len(needle), K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+
+    mesh = make_mesh(time=8, channel=1)
+    got = sharded_find_sync_peaks(mesh, env, needle, rate,
+                                  K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+    assert len(got) == len(seq)
+    assert np.max(np.abs(np.asarray(got) - np.asarray(seq))) <= 1
