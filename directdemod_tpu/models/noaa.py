@@ -49,11 +49,12 @@ class NoaaDecoder:
     """
 
     def __init__(self, sigsrc, offset: float, bw: int | None = None,
-                 dtype=jnp.complex64):
+                 dtype=jnp.complex64, mesh=None):
         self.src = sigsrc
         self.offset = float(offset)
         self.bw = int(bw) if bw else K.NOAA_FMBW
         self.dtype = dtype
+        self.mesh = mesh             # optional: shard front-end + sync search
         self._audio = None           # (signal, rate) at crude-sync rate
         self._audio_strict = None    # (signal, rate) at NOAA_AUDSAMPRATE
         self._sync_a = None
@@ -77,6 +78,19 @@ class NoaaDecoder:
         # second bwLim: integer stride from the decimated rate
         j2 = int(decim_rate // target_rate) if not strict else 1
         out_rate = int(decim_rate / j2) if not strict else target_rate
+
+        if self.mesh is not None and not strict and j2 == 1:
+            # chunk-parallel front end over the mesh's time axis. Without a
+            # strict resample the chain is block-size-invariant (all carries
+            # are exact), so pick blocks that keep every device busy.
+            from ..parallel.sharded import ShardedDdcFm
+            ndev = self.mesh.shape["time"]
+            blk = int(min(K.PROC_CHUNKSIZE,
+                          max(1 << 20, self.src.length // (2 * ndev))))
+            with self.profiler.stage("fm_frontend", self.src.length):
+                audio, _ = ShardedDdcFm(fe, self.mesh).process(
+                    self.src, blk, dtype=self.dtype)
+            return audio, out_rate
 
         from ..io.feeder import BlockFeeder
         state = fe.init_state(self.dtype)
@@ -135,8 +149,19 @@ class NoaaDecoder:
             log.info("NOAA crude sync: correlating %d samples at %d Hz",
                      len(env), rate)
             with self.profiler.stage("sync_correlate", 2 * len(env)):
-                self._sync_a, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCA)
-                self._sync_b, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCB)
+                if self.mesh is not None:
+                    from ..parallel.correlate import sharded_find_sync_peaks
+                    self._sync_a = sharded_find_sync_peaks(
+                        self.mesh, env,
+                        corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True),
+                        rate, K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+                    self._sync_b = sharded_find_sync_peaks(
+                        self.mesh, env,
+                        corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True),
+                        rate, K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+                else:
+                    self._sync_a, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCA)
+                    self._sync_b, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCB)
             self._useful = self._usefulness()
         return [self._sync_a, self._sync_b]
 

@@ -111,3 +111,22 @@ def test_sharded_sync_correlation_matches_sequential():
                                   K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
     assert len(got) == len(seq)
     assert np.max(np.abs(np.asarray(got) - np.asarray(seq))) <= 1
+
+
+def test_noaa_decoder_on_mesh():
+    """Full NOAA decode with the mesh-sharded front end + sync search equals
+    the sequential decode."""
+    from directdemod_tpu.models.noaa import NoaaDecoder
+    from tests.apt_synth import synthesize
+    iq, _ = synthesize(n_lines=12, snr_db=20)
+    seq = NoaaDecoder(ArraySource(iq, FS), 30000)
+    img_seq = seq.get_image()
+    mesh = make_mesh(time=8, channel=1)
+    par = NoaaDecoder(ArraySource(iq, FS), 30000, mesh=mesh)
+    assert par.useful == 1
+    img_par = par.get_image()
+    assert img_seq.shape == img_par.shape
+    # identical sync decisions should give identical images
+    assert np.array_equal(np.asarray(seq.get_crude_sync()[0]),
+                          np.asarray(par.get_crude_sync()[0]))
+    assert np.mean(img_seq == img_par) > 0.99
