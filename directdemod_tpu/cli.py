@@ -49,6 +49,7 @@ Decoder flags:
 \t-d afsk1200 : AFSK1200 decoder
 \t-d funcube : Funcube BPSK sync detector (--freqshift Doppler correction)
 \t-d meteor : Meteor QPSK sync detector
+\t--mesh=<n> : shard the NOAA decode over an n-device time mesh
 """)
     sys.exit(0 if not err else 1)
 
@@ -59,7 +60,8 @@ def main(argv=None) -> int:
 
     try:
         optlist, args = getopt.getopt(
-            argv, "c:f:s:e:ho:qn:b:d:r:a:", ["help", "map", "tle=", "freqshift"])
+            argv, "c:f:s:e:ho:qn:b:d:r:a:",
+            ["help", "map", "tle=", "freqshift", "mesh="])
     except getopt.GetoptError as e:
         usage(str(e))
         return 1
@@ -72,6 +74,12 @@ def main(argv=None) -> int:
     if len(args) != 1:
         usage("Invalid argument: filename")
         return 1
+
+    mesh = None
+    mesh_n = next((int(v) for k, v in optlist if k == "--mesh"), 0)
+    if mesh_n > 1:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(time=mesh_n, channel=1)
 
     calc_sync = any(o == ("-s", "ync") for o in optlist)
     calc_image = not any(o == ("-n", "oimage") for o in optlist)
@@ -152,7 +160,8 @@ def main(argv=None) -> int:
                     map_rot, map_nrot = outs[i] + "_map_rot.png", outs[i] + "_map.png"
 
                 from .models.noaa import NoaaDecoder
-                dec = NoaaDecoder(sigsrc, freq_offset, bandwidths[i])
+                dec = NoaaDecoder(sigsrc, freq_offset, bandwidths[i],
+                                  mesh=mesh)
                 if calc_image and dec.useful == 1:
                     sinks.write_image(img_file, dec.get_image())
                     entry["filesCreated"].append(img_file)
