@@ -27,7 +27,8 @@ def _needle_2mhz() -> np.ndarray:
 
 class FuncubeDecoder(PskSyncDetector):
     def __init__(self, sigsrc, offset, bw=None, center_frequency=None,
-                 signal_freq=None, corrfreq=False, dtype=jnp.complex64):
+                 signal_freq=None, corrfreq=False, dtype=jnp.complex64,
+                 block_size=None):
         bw = int(bw) if bw else K.FUNCUBE_DEFAULT_BW
         params = PskParams(
             fs=sigsrc.sampFreq, sym_rate=K.FUNCUBE_SYMRATE, qpsk=False,
@@ -69,8 +70,9 @@ class FuncubeDecoder(PskSyncDetector):
                 state["current"] = float(f[-1])
                 return f
 
+        from ..constants import PROC_CHUNKSIZE as _PC
         super().__init__(sigsrc, offset, bw, params, cfg, freq_fn=freq_fn,
-                         dtype=dtype)
+                         dtype=dtype, block_size=block_size or _PC)
 
     @property
     def getSyncs(self):

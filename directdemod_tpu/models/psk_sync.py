@@ -63,13 +63,15 @@ class PskSyncDetector:
     """Shared driver; see FuncubeDecoder / MeteorM2Decoder for the configs."""
 
     def __init__(self, sigsrc, offset, bw: int, params: PskParams,
-                 cfg: _SyncConfig, freq_fn=None, dtype=jnp.complex64):
+                 cfg: _SyncConfig, freq_fn=None, dtype=jnp.complex64,
+                 block_size: int = PROC_CHUNKSIZE):
         self.src = sigsrc
         self.offset = float(offset)
         self.bw = bw
         self.p = params
         self.cfg = cfg
         self.freq_fn = freq_fn      # optional per-chunk Doppler freq array fn
+        self.block_size = int(block_size)
         self.dtype = dtype
         self._useful = 0
         self._syncs = None
@@ -108,7 +110,7 @@ class PskSyncDetector:
 
         max_syncs: list = []
 
-        plan = plan_mod.plan_blocks(self.src.length, PROC_CHUNKSIZE)
+        plan = plan_mod.plan_blocks(self.src.length, self.block_size)
         for ci, (s, e) in enumerate(plan):
             x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             # chunk-local NCO phase (reference quirk: no chunker)

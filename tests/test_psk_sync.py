@@ -147,3 +147,21 @@ def test_funcube_doppler_corrected(tmp_path):
     syncs = dec.get_syncs()
     assert dec.useful == 1
     assert len(syncs) >= 1
+
+
+@pytest.mark.slow
+def test_funcube_small_blocks_cross_chunk():
+    """Force tiny stream blocks so the scan state, minsync clusters and the
+    max-sync correlation window all cross chunk boundaries; sync results must
+    stay equivalent to the single-chunk run (the reference's own per-chunk
+    NCO-phase restart means bit-identity is not expected, only detection)."""
+    spacing = K.FUNCUBE_FRAME_SPACING_S
+    cap = _bpsk_capture([1.2, 1.2 + spacing], dur_s=1.2 + spacing + 1.0,
+                        offset_hz=0.0, carrier_err=150.0)
+    big = FuncubeDecoder(ArraySource(cap, FS), 0)
+    syncs_big = big.get_syncs()
+    small = FuncubeDecoder(ArraySource(cap, FS), 0, block_size=1_000_000)
+    syncs_small = small.get_syncs()
+    assert big.useful == 1 and small.useful == 1
+    assert len(syncs_big) == len(syncs_small) == 1
+    assert abs(syncs_big[0] - syncs_small[0]) < 0.01 * FS
