@@ -60,3 +60,42 @@ def synthesize(n_lines=8, offset_hz=30000, dev_hz=17000, snr_db=None,
     q8 = np.clip(np.round(iq.imag * scale + 127.5), 0, 255)
     iq = ((i8 - 127.5) + 1j * (q8 - 127.5)).astype(np.complex64)
     return iq, np.stack(lines)
+
+
+def synthesize_with_wedge(lines_per_step=3, steps_pre=2, offset_hz=30000,
+                          dev_hz=17000, snr_db=25, seed=3):
+    """Capture whose pre-sync telemetry strips walk the 8-step calibration
+    wedge then drop, driving the reference's color-correction state machine
+    to lock (ref decode_noaa.py:371-425)."""
+    rng = np.random.default_rng(seed)
+    # wedge intensities ~ i*255/8 in luminance units
+    wedge = [int(i * 255 / 8) for i in range(1, 9)]
+    sequence = [20] * steps_pre + wedge + [10, 10]   # preamble, ramp, drop
+    lines = []
+    for step_val in sequence:
+        for _ in range(lines_per_step):
+            a = np.linspace(40, 210, 1000)
+            b = np.full(1000, 120.0) + 5 * rng.standard_normal(1000)
+            line = apt_line_words(a, b)
+            # telemetry strips: the 40 words before each sync carry the wedge
+            # (they are read as the strip medians of the *following* line)
+            line[2080 - 40:] = step_val          # before next line's syncA
+            line[1040 - 40:1040] = step_val      # before syncB
+            lines.append(line)
+    words = np.concatenate(lines)
+
+    n = int(len(lines) * 0.5 * FS) + int(0.25 * FS)
+    t = np.arange(n) / FS
+    widx = np.minimum((t * WORD_RATE).astype(np.int64), len(words) - 1)
+    env = 0.05 + 0.9 * words[widx] / 255.0
+    baseband = env * np.cos(2 * np.pi * 2400.0 * t)
+    phase = 2 * np.pi * offset_hz * t + \
+        2 * np.pi * dev_hz * np.cumsum(baseband) / FS
+    iq = np.exp(1j * phase)
+    p_noise = 10 ** (-snr_db / 10)
+    iq = iq + np.sqrt(p_noise / 2) * (rng.standard_normal(n)
+                                      + 1j * rng.standard_normal(n))
+    scale = 90.0
+    i8 = np.clip(np.round(iq.real * scale + 127.5), 0, 255)
+    q8 = np.clip(np.round(iq.imag * scale + 127.5), 0, 255)
+    return ((i8 - 127.5) + 1j * (q8 - 127.5)).astype(np.complex64), np.stack(lines)

@@ -124,3 +124,32 @@ def test_afsk_parity(reference_modules):
     finally:
         sys.path.remove(REF)
     assert ref_useful == 1 == ours.useful
+
+
+@pytest.mark.slow
+def test_calibrated_image_parity(reference_modules):
+    """A capture with a real 8-step wedge drives both calibration state
+    machines to lock; the calibrated (slope/intercept) images must agree."""
+    from tests.apt_synth import synthesize_with_wedge, FS
+    from directdemod_tpu.io.sources import ArraySource
+    from directdemod_tpu.models.noaa import NoaaDecoder
+
+    iq, _ = synthesize_with_wedge()
+    ours = NoaaDecoder(ArraySource(iq, FS), 30000)
+    img = ours.get_image()
+
+    _compat_shims()
+    sys.path.insert(0, REF)
+    try:
+        ref_dec = reference_modules.decode_noaa(
+            _RefArraySource(iq.astype(np.complex64), FS), 30000)
+        assert ref_dec.useful == 1
+        ref_img = np.asarray(ref_dec.getImage)
+    finally:
+        sys.path.remove(REF)
+
+    assert ours.useful == 1
+    assert img.shape == ref_img.shape
+    diff = np.abs(img.astype(int) - ref_img.astype(int))
+    # calibrated quantization must agree closely line-for-line
+    assert np.mean(diff <= 2) > 0.97, float(np.mean(diff <= 2))
