@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""End-to-end NOAA APT decode wall-clock: this framework on the real TPU vs
+the reference implementation (ref decode_noaa.py:20-882) on this host, on the
+same synthetic capture.
+
+    python examples/bench_noaa_e2e.py [--lines N] [--skip-reference]
+
+The TPU decode runs in a worker subprocess with retries, because the axon
+dev tunnel's transfer service degrades transiently and one failed transfer
+poisons a JAX client session (see STATUS.md); a fresh process is the only
+reliable recovery.
+
+Prints one JSON line:
+  {"metric": "noaa_e2e_wallclock", "value": <seconds>, "unit": "s", ...}
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+class ArraySource:
+    """In-memory IQ source with the reference source ABC surface
+    (ref source.py:18-47)."""
+    sourceType = -1
+
+    def __init__(self, iq, fs):
+        self._iq = np.asarray(iq, dtype=np.complex64)
+        self.sampFreq = fs
+        self.length = len(self._iq)
+
+    def read(self, i, j):
+        return self._iq[i:j]
+
+
+def worker(iq_path: str) -> None:
+    """One decode attempt on the default (TPU) backend; prints JSON."""
+    from directdemod_tpu.models.noaa import NoaaDecoder
+
+    iq = np.load(iq_path)
+    fs = 2048000
+
+    def decode(sig):
+        dec = NoaaDecoder(ArraySource(sig, fs), offset=30000)
+        useful = dec.useful
+        img = dec.get_image()
+        return useful, img, dec
+
+    t0 = time.perf_counter()
+    decode(iq[: 4 * fs])                   # compile warm-up on a short slice
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    useful, img, dec = decode(iq)
+    dt = time.perf_counter() - t0
+
+    import jax
+    np.save(iq_path + ".img.npy", img)
+    print(json.dumps({
+        "wallclock_s": round(dt, 3),
+        "useful": useful,
+        "image_shape": list(img.shape),
+        "warmup_incl_compile_s": round(warm, 1),
+        "stages": dec.profiler.report(),
+        "device": jax.devices()[0].device_kind,
+    }))
+
+
+def run_reference(iq, fs):
+    sys.path.insert(0, "/root/reference")
+    from directdemod import decode_noaa
+
+    class RefSource(ArraySource):
+        sourceType = 0
+
+    dec = decode_noaa.decode_noaa(RefSource(iq, fs), 30000)
+    t0 = time.perf_counter()
+    useful = dec.useful
+    img = dec.getImage
+    dt = time.perf_counter() - t0
+    return dt, useful, np.asarray(img)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lines", type=int, default=60)
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--retries", type=int, default=4)
+    ap.add_argument("--worker", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.worker)
+        return
+
+    from apt_synth import synthesize, FS
+    iq, _ = synthesize(n_lines=args.lines, snr_db=18)
+    capture_s = len(iq) / FS
+
+    with tempfile.TemporaryDirectory() as td:
+        iq_path = os.path.join(td, "capture.npy")
+        np.save(iq_path, iq.astype(np.complex64))
+
+        res = None
+        for attempt in range(args.retries):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", iq_path],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in reversed(p.stdout.splitlines()):
+                if line.startswith("{"):
+                    res = json.loads(line)
+                    break
+            if res is not None:
+                break
+            sys.stderr.write(f"attempt {attempt + 1} failed:\n"
+                             + p.stderr[-2000:] + "\n")
+            time.sleep(30)
+        if res is None:
+            print(json.dumps({"metric": "noaa_e2e_wallclock", "value": 0.0,
+                              "unit": "s", "error": "all attempts failed"}))
+            sys.exit(1)
+        img = np.load(iq_path + ".img.npy")
+
+    out = {"metric": "noaa_e2e_wallclock", "value": res.pop("wallclock_s"),
+           "unit": "s", "capture_seconds": round(capture_s, 1),
+           "capture_samples": len(iq),
+           "realtime_factor": None, **res}
+    out["realtime_factor"] = round(capture_s / out["value"], 1)
+
+    if not args.skip_reference:
+        rdt, ruseful, rimg = run_reference(iq, FS)
+        out["reference_wallclock_s"] = round(rdt, 3)
+        out["reference_useful"] = ruseful
+        out["vs_baseline"] = round(rdt / out["value"], 1)
+        rows = min(img.shape[0], rimg.shape[0])
+        if rows and img.shape[1] == rimg.shape[1]:
+            a = img[:rows].astype(np.float64)
+            b = rimg[:rows].astype(np.float64)
+            cors = [np.corrcoef(a[r], b[r])[0, 1] for r in range(rows)
+                    if a[r].std() > 0 and b[r].std() > 0]
+            if cors:
+                out["image_row_corr_vs_reference"] = round(float(np.median(cors)), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
