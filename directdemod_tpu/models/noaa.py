@@ -68,7 +68,8 @@ class NoaaDecoder:
         self.profiler = Profiler()     # per-stage Msamples/s (utils.profiling)
 
     # ------------------------------------------------------------- front end
-    def _fm_audio(self, target_rate: int, strict: bool):
+    def _fm_audio(self, target_rate: int, strict: bool,
+                  device_out: bool = False):
         """The chunked FM chain (ref decode_noaa.py:600-629) via the fused
         DDC. strict=False leaves the emergent decimated rate; strict=True
         Fourier-resamples per block (ref comm.py:110-116 semantics)."""
@@ -108,7 +109,11 @@ class NoaaDecoder:
                 cnt = rs.decim_count(n_pre, off2, j2)
                 y = rs.decimate(y, off2, j2, cnt)
                 off2 = (j2 - (n_pre - off2) % j2) % j2
-            outs.append(np.asarray(y))
+            outs.append(y if device_out else np.asarray(y))
+        if device_out:
+            # audio stays resident in HBM: downstream envelope + sync
+            # correlation consume it without a host round trip.
+            return jnp.concatenate(outs), out_rate
         return np.concatenate(outs), out_rate
 
     def get_audio(self):
@@ -118,10 +123,11 @@ class NoaaDecoder:
         return self._audio_strict
 
     # ------------------------------------------------------------- crude sync
-    def _am_envelope(self, sig: np.ndarray) -> np.ndarray:
-        """Blockwise Hilbert envelope (ref decode_noaa.py:631-657)."""
-        return np.asarray(am_ops.envelope_blocked(
-            jnp.asarray(sig, dtype=jnp.float32), AM_BLOCK))
+    def _am_envelope(self, sig) -> jnp.ndarray:
+        """Blockwise Hilbert envelope (ref decode_noaa.py:631-657); stays on
+        device (a no-op when `sig` is already resident)."""
+        return am_ops.envelope_blocked(
+            jnp.asarray(sig, dtype=jnp.float32), AM_BLOCK)
 
     def _correlate_and_find(self, sig: np.ndarray, rate: int, sync_bits,
                             use_filter: bool = False,
@@ -142,15 +148,18 @@ class NoaaDecoder:
     def get_crude_sync(self):
         """Sync locations at the crude rate (ref decode_noaa.py:769-806)."""
         if self._sync_a is None:
-            audio, rate = self._fm_audio(K.NOAA_CRUDESYNCSAMPRATE, strict=False)
+            audio, rate = self._fm_audio(K.NOAA_CRUDESYNCSAMPRATE,
+                                         strict=False,
+                                         device_out=self.mesh is None)
             self._audio = (audio, rate)
             env = self._am_envelope(audio)
             self._sync_rate = rate
             log.info("NOAA crude sync: correlating %d samples at %d Hz",
-                     len(env), rate)
-            with self.profiler.stage("sync_correlate", 2 * len(env)):
+                     int(env.shape[0]), rate)
+            with self.profiler.stage("sync_correlate", 2 * int(env.shape[0])):
                 if self.mesh is not None:
                     from ..parallel.correlate import sharded_find_sync_peaks
+                    env = np.asarray(env)
                     self._sync_a = sharded_find_sync_peaks(
                         self.mesh, env,
                         corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True),
@@ -192,9 +201,9 @@ class NoaaDecoder:
             audio, rate = self._audio
             bp = iir.IirFilter.design_butter(rate, 400, 4400, order=6,
                                              kind="bandpass")
-            filtered = np.asarray(bp.zero_phase(
-                jnp.asarray(audio, dtype=jnp.float32)))
-            env = self._am_envelope(filtered)
+            filtered = bp.zero_phase(jnp.asarray(audio, dtype=jnp.float32))
+            # one transfer down: the calibration walk is host-side O(lines)
+            env = np.asarray(self._am_envelope(filtered))
 
             csync_a = np.asarray(self._sync_a, dtype=np.float64) \
                 / self._sync_rate * rate

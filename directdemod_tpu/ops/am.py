@@ -10,18 +10,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import fftutil
+
 
 def analytic(x: jnp.ndarray) -> jnp.ndarray:
-    """scipy.signal.hilbert semantics for a real 1-D signal (last axis)."""
+    """scipy.signal.hilbert semantics for a real 1-D signal (last axis).
+
+    Routed through fftutil so ragged block lengths (e.g. the 240000-block
+    remainder) use chirp-z instead of TPU's O(n^2) dense-DFT fallback."""
     n = x.shape[-1]
     cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    X = jnp.fft.fft(x.astype(cdt), axis=-1)
+    X = fftutil.fft_any(x.astype(cdt), axis=-1)
     h = jnp.zeros(n, dtype=X.real.dtype)
     if n % 2 == 0:
         h = h.at[0].set(1.0).at[n // 2].set(1.0).at[1:n // 2].set(2.0)
     else:
         h = h.at[0].set(1.0).at[1:(n + 1) // 2].set(2.0)
-    return jnp.fft.ifft(X * h, axis=-1)
+    return fftutil.ifft_any(X * h, axis=-1)
 
 
 def envelope(x: jnp.ndarray) -> jnp.ndarray:

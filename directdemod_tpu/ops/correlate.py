@@ -17,19 +17,10 @@ import jax.numpy as jnp
 
 
 def _fft_len(n: int) -> int:
-    """Next 5-smooth length >= n (TPU FFT is happiest at 2^a 3^b 5^c)."""
-    best = 1 << max(0, (n - 1)).bit_length()
-    p5 = 1
-    while p5 < best:
-        p35 = p5
-        while p35 < best:
-            x = p35
-            while x < n:
-                x *= 2
-            best = min(best, x)
-            p35 *= 3
-        p5 *= 5
-    return best
+    """Next TPU-fast FFT length >= n (2^a 3^b 5^c with a >= 3; odd 5-smooth
+    lengths lower to dense DFT matmuls on TPU — see ops.fftutil.tpu_fft_ok)."""
+    from .fftutil import _smooth_len
+    return _smooth_len(n)
 
 
 def fft_convolve_full(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

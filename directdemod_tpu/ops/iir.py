@@ -153,7 +153,9 @@ class IirFilter:
         rdt = jnp.float64 if x.dtype in (jnp.float64, jnp.complex128) else jnp.float32
         cdt = jnp.complex128 if rdt == jnp.float64 else jnp.complex64
 
-        hf = jnp.fft.fft(jnp.asarray(h, dtype=rdt).astype(cdt), n=2 * L)
+        from .fftutil import _smooth_len
+        m = _smooth_len(2 * L - 1)     # >= linear-conv length, TPU-fast FFT size
+        hf = jnp.fft.fft(jnp.asarray(h, dtype=rdt).astype(cdt), n=m)
         Sj = jnp.asarray(S, dtype=rdt)
         Gj = jnp.asarray(G, dtype=rdt)
         ALj = jnp.asarray(AL, dtype=rdt)
@@ -162,7 +164,7 @@ class IirFilter:
         f = xb @ Gj                                       # (nb, 2)
         _, s_hist = lax.scan(lambda s, fj: (s @ ALj.T + fj, s), z.astype(f.dtype), f)
 
-        conv = jnp.fft.ifft(jnp.fft.fft(xb.astype(cdt), n=2 * L, axis=-1) * hf,
+        conv = jnp.fft.ifft(jnp.fft.fft(xb.astype(cdt), n=m, axis=-1) * hf,
                             axis=-1)[:, :L]
         conv = conv if cplx else conv.real
         y = (conv + s_hist @ Sj.T).reshape(-1)[:n].astype(x.dtype)

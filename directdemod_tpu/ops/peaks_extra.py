@@ -158,11 +158,12 @@ def peaks_fft(y_axis, x_axis, pad_len: int = 20):
 def _fft_interp(seg, n_pad: int):
     """Mid-spectrum zero padding: X[:n/2] ++ zeros ++ X[n/2:], scaled by the
     length ratio (ref peakdetect.py:313-324)."""
+    from .fftutil import fft_any, ifft_any
     n = seg.shape[0]
-    f = jnp.fft.fft(seg)
+    f = fft_any(seg)
     padded = jnp.concatenate(
         [f[: n // 2], jnp.zeros(n_pad - n, dtype=f.dtype), f[n // 2:]])
-    return jnp.real(jnp.fft.ifft(padded)) * (n_pad / n)
+    return jnp.real(ifft_any(padded)) * (n_pad / n)
 
 
 # ------------------------------------------------------------------ window gather

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import fftutil
+
 
 def decim_params(fs: int, target: int) -> tuple[int, int]:
     """(stride J, new integer rate) for bwLim -- ref comm.py:119,128."""
@@ -59,7 +61,7 @@ def fft_resample(x: jnp.ndarray, num: int) -> jnp.ndarray:
     nkeep = min(num, n)
     nyq = nkeep // 2 + 1
     if real_in:
-        X = jnp.fft.rfft(x, axis=-1)
+        X = fftutil.rfft_any(x, axis=-1)
         Y = jnp.zeros(x.shape[:-1] + (num // 2 + 1,), dtype=X.dtype)
         Y = Y.at[..., :nyq].set(X[..., :nyq])
         if nkeep % 2 == 0:
@@ -67,8 +69,8 @@ def fft_resample(x: jnp.ndarray, num: int) -> jnp.ndarray:
                 Y = Y.at[..., nkeep // 2].set(Y[..., nkeep // 2] * 2.0)
             else:
                 Y = Y.at[..., nkeep // 2].set(Y[..., nkeep // 2] * 0.5)
-        return jnp.fft.irfft(Y, n=num, axis=-1) * scale
-    X = jnp.fft.fft(x, axis=-1)
+        return fftutil.irfft_any(Y, num, axis=-1) * scale
+    X = fftutil.fft_any(x, axis=-1)
     Y = jnp.zeros(x.shape[:-1] + (num,), dtype=X.dtype)
     Y = Y.at[..., :nyq].set(X[..., :nyq])
     if nkeep > 2:
@@ -81,4 +83,4 @@ def fft_resample(x: jnp.ndarray, num: int) -> jnp.ndarray:
         else:
             Y = Y.at[..., half].set(Y[..., half] * 0.5)
             Y = Y.at[..., num - half].set(Y[..., half])
-    return jnp.fft.ifft(Y, axis=-1) * scale
+    return fftutil.ifft_any(Y, axis=-1) * scale
