@@ -39,6 +39,35 @@ def _reference_chain_msamps(n: int = 2_000_000) -> float:
     return n / dt / 1e6
 
 
+def _feed_chain_msamps(n: int = 200_000_000, block: int = 20_000_000) -> float:
+    """File -> host -> device -> audio throughput: the full ingest path with
+    raw uint8 upload and on-device unpack (ops/unpack), on a real .dat capture.
+    Includes disk read, host->device transfer, compute, and audio download."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+    from directdemod_tpu.io.sources import IQDat
+    from directdemod_tpu.models.frontend import DdcFm
+    from directdemod_tpu.ops import design
+
+    rng = np.random.default_rng(1)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "cap.dat")
+        with open(path, "wb") as f:
+            chunk = rng.integers(0, 256, size=2 * block, dtype=np.uint8)
+            for _ in range(n // block):
+                f.write(chunk.tobytes())
+        src = IQDat(path, 2048000)
+        fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
+        fe.process(src, block, dtype=jnp.complex64)      # warm jits + page cache
+        t0 = time.perf_counter()
+        audio, _ = fe.process(src, block, dtype=jnp.complex64)
+        dt = time.perf_counter() - t0
+        assert len(audio) > 0
+    return n / dt / 1e6
+
+
 def _tpu_chain_msamps(block: int = 20_000_000, iters: int = 10) -> tuple[float, str]:
     import jax
     import jax.numpy as jnp
@@ -87,15 +116,28 @@ def main() -> int:
         ref = _reference_chain_msamps()
     except Exception:
         ref = float("nan")
+    try:
+        feed = _feed_chain_msamps()
+    except Exception as e:
+        feed = None
+        feed_err = f"{type(e).__name__}: {e}"
     out = {
         "metric": "iq_chain_throughput",
         "value": round(value, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(value / ref, 1) if ref == ref else None,
         "device": device,
-        "reference_msamples_per_s_same_host": round(ref, 1) if ref == ref else None,
+        # `value` times device-resident blocks (per-chip compute); the feed-
+        # inclusive number below covers file -> device -> audio end to end
+        "measures": "device-resident 20M-sample blocks, steady state",
+        "feed_inclusive_msamples_per_s": round(feed, 1) if feed else None,
+        # single-core NumPy/SciPy chain timed on this same host
+        "reference_msamples_per_s_same_host_1core_scipy": (
+            round(ref, 1) if ref == ref else None),
         "realtime_factor_at_2048ksps": round(value / 2.048, 1),
     }
+    if feed is None:
+        out["feed_error"] = feed_err
     print(json.dumps(out))
     return 0
 

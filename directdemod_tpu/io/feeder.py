@@ -24,9 +24,18 @@ class BlockFeeder:
     background prefetch. Use as a context manager or rely on exhaustion."""
 
     def __init__(self, source, block_size: int, dtype=jnp.complex64,
-                 depth: int = 2, blocks=None):
+                 depth: int = 2, blocks=None, raw: bool | str = False):
+        """`raw`: upload interleaved uint8 bytes (2 bytes/sample) instead of
+        host-unpacked complex (8 bytes/sample); the consumer unpacks on device
+        (ops/unpack). 'auto' enables it when the source supports read_raw."""
+        from ..ops import unpack
         self.source = source
         self.dtype = dtype
+        if raw == "auto":
+            raw = unpack.supports_raw(source)
+        elif raw and not unpack.supports_raw(source):
+            raise ValueError("source has no read_raw; cannot feed raw bytes")
+        self.raw = bool(raw)
         self.plan = blocks if blocks is not None \
             else plan_mod.plan_blocks(source.length, block_size)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
@@ -39,8 +48,11 @@ class BlockFeeder:
             for (s, e) in self.plan:
                 if self._stop.is_set():
                     return
-                block = hostio.device_put(self.source.read(s, e),
-                                          dtype=self.dtype)
+                if self.raw:
+                    block = jnp.asarray(self.source.read_raw(s, e))
+                else:
+                    block = hostio.device_put(self.source.read(s, e),
+                                              dtype=self.dtype)
                 self._q.put((s, e, block))
         except Exception as exc:  # surface errors to the consumer
             self._q.put(exc)

@@ -82,6 +82,22 @@ class _BaseIQ:
         raw = self._bytes[2 * a: 2 * b]
         return _convert_iq_u8(raw)
 
+    def read_raw(self, from_index: int, to_index: int | None = None) -> np.ndarray:
+        """Raw interleaved uint8 bytes for [from_index, to_index) samples.
+
+        The device-side unpack path (ops/unpack.iq_u8_to_complex) consumes
+        this directly: 2 bytes/sample over the host->device link instead of 8,
+        with the -127.5 conversion fused into the first device op.
+        """
+        if to_index is None:
+            to_index = from_index + 1
+        if (from_index < 0 or to_index < 0 or from_index >= self.length
+                or to_index > self.length):
+            raise ValueError("read range outside the source window")
+        a = self._offset + from_index
+        b = self._offset + to_index
+        return self._bytes[2 * a: 2 * b]
+
     def limit(self, init_offset: int | None = None,
               final_limit: int | None = None) -> None:
         """Window subsequent reads (ref source.py:120-138)."""

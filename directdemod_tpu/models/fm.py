@@ -12,8 +12,6 @@ import jax.numpy as jnp
 
 from ..constants import PROC_CHUNKSIZE
 from ..ops import design, resample as rs
-from ..stream import plan as plan_mod
-from ..utils import hostio
 from .frontend import DdcFm
 
 
@@ -41,16 +39,19 @@ class FmDecoder:
         off2 = 0
         j2 = 1 if self.strict else max(1, int(decim_rate // self.audio_freq))
         out_rate = self.audio_freq if self.strict else int(decim_rate / j2)
-        for (s, e) in plan_mod.plan_blocks(self.src.length, PROC_CHUNKSIZE):
-            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
-            y, state = fe.process_block(x, state, s)
-            if self.strict:
-                y = rs.fft_resample(y, int(self.audio_freq * y.shape[0] / decim_rate))
-            elif j2 > 1:
-                n_pre = int(y.shape[0])
-                cnt = rs.decim_count(n_pre, off2, j2)
-                y = rs.decimate(y, off2, j2, cnt)
-                off2 = (j2 - (n_pre - off2) % j2) % j2
-            outs.append(np.asarray(y))
+        from ..io.feeder import BlockFeeder
+        with BlockFeeder(self.src, PROC_CHUNKSIZE, dtype=self.dtype,
+                         raw="auto") as feeder:
+            for (s, e, x) in feeder:
+                y, state = fe.process_block(x, state, s)
+                if self.strict:
+                    y = rs.fft_resample(
+                        y, int(self.audio_freq * y.shape[0] / decim_rate))
+                elif j2 > 1:
+                    n_pre = int(y.shape[0])
+                    cnt = rs.decim_count(n_pre, off2, j2)
+                    y = rs.decimate(y, off2, j2, cnt)
+                    off2 = (j2 - (n_pre - off2) % j2) % j2
+                outs.append(np.asarray(y))
         self._audio = (np.concatenate(outs), out_rate)
         return self._audio

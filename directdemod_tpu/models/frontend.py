@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import PROC_CHUNKSIZE
-from ..ops import fir, resample as rs
+from ..ops import fir, resample as rs, unpack
 from ..utils import hostio
 
 
@@ -69,6 +69,10 @@ class DdcFm:
     # ---------------------------------------------------------------- device step
     @partial(jax.jit, static_argnums=(0, 5, 6))
     def _step(self, x, hist, c_prev, off, out_len: int, first: bool):
+        if x.dtype == jnp.uint8:
+            # raw interleaved IQ bytes: unpack on device (2 bytes/sample over
+            # the host link; the -127.5 subtract fuses into the conv input)
+            x = unpack.iq_u8_to_complex(x, jnp.real(hist).dtype)
         dt = x.dtype
         tm = jnp.asarray(self.taps_mod, dtype=dt)
         c, hist2 = fir.fir_decimate(x, tm, hist, off, out_len, self.stride)
@@ -99,7 +103,7 @@ class DdcFm:
         not one per decimator phase.
         """
         hist, c_prev = state
-        n = int(x.shape[0])
+        n = int(x.shape[0]) // 2 if x.dtype == jnp.uint8 else int(x.shape[0])
         off = rs.decim_phase(start, self.stride)
         out_len = rs.decim_count(n, off, self.stride)
         y, hist2, c_last = self._step(x, hist, c_prev, jnp.int32(off), out_len,
@@ -107,13 +111,14 @@ class DdcFm:
         return y, (hist2, c_last)
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
-                dtype=jnp.complex64):
+                dtype=jnp.complex64, raw: bool | str = "auto"):
         """Full chunked run with a double-buffered host feed; returns
-        (output ndarray, out_rate)."""
+        (output ndarray, out_rate). `raw='auto'` feeds raw uint8 bytes and
+        unpacks on device when the source supports it (4x less link traffic)."""
         from ..io.feeder import BlockFeeder
         state = self.init_state(dtype)
         outs = []
-        with BlockFeeder(source, block_size, dtype=dtype) as feeder:
+        with BlockFeeder(source, block_size, dtype=dtype, raw=raw) as feeder:
             for (s, e, x) in feeder:
                 y, state = self.process_block(x, state, s)
                 outs.append(hostio.device_get(y))

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import PROC_CHUNKSIZE
-from ..ops import fir, resample as rs
+from ..ops import fir, resample as rs, unpack
 from ..utils import hostio
 from .frontend import DdcFm
 
@@ -42,6 +42,8 @@ class MultiDdcFm:
 
     @partial(jax.jit, static_argnums=(0, 5, 6))
     def _step(self, x, hists, c_prevs, off, out_len: int, first: bool):
+        if x.dtype == jnp.uint8:
+            x = unpack.iq_u8_to_complex(x, jnp.real(hists).dtype)
         dt = x.dtype
         tm = jnp.asarray(self.taps_mod, dtype=dt)
         rot = jnp.asarray(self.rots, dtype=dt)
@@ -70,7 +72,7 @@ class MultiDdcFm:
         from ..io.feeder import BlockFeeder
         state = self.init_state(dtype)
         outs = []
-        with BlockFeeder(source, block_size, dtype=dtype) as feeder:
+        with BlockFeeder(source, block_size, dtype=dtype, raw="auto") as feeder:
             for (s, e, x) in feeder:
                 off = rs.decim_phase(s, self.stride)
                 out_len = rs.decim_count(e - s, off, self.stride)

@@ -97,19 +97,20 @@ class NoaaDecoder:
         state = fe.init_state(self.dtype)
         outs = []
         off2 = 0
-        feeder = BlockFeeder(self.src, K.PROC_CHUNKSIZE, dtype=self.dtype)
-        for (s, e, x) in feeder:
-            with self.profiler.stage("fm_frontend", e - s):
-                y, state = fe.process_block(x, state, s)
-            if strict:
-                num = int(target_rate * y.shape[0] / decim_rate)
-                y = rs.fft_resample(y, num)
-            elif j2 > 1:
-                n_pre = int(y.shape[0])
-                cnt = rs.decim_count(n_pre, off2, j2)
-                y = rs.decimate(y, off2, j2, cnt)
-                off2 = (j2 - (n_pre - off2) % j2) % j2
-            outs.append(y if device_out else np.asarray(y))
+        with BlockFeeder(self.src, K.PROC_CHUNKSIZE, dtype=self.dtype,
+                         raw="auto") as feeder:
+            for (s, e, x) in feeder:
+                with self.profiler.stage("fm_frontend", e - s):
+                    y, state = fe.process_block(x, state, s)
+                if strict:
+                    num = int(target_rate * y.shape[0] / decim_rate)
+                    y = rs.fft_resample(y, num)
+                elif j2 > 1:
+                    n_pre = int(y.shape[0])
+                    cnt = rs.decim_count(n_pre, off2, j2)
+                    y = rs.decimate(y, off2, j2, cnt)
+                    off2 = (j2 - (n_pre - off2) % j2) % j2
+                outs.append(y if device_out else np.asarray(y))
         if device_out:
             # audio stays resident in HBM: downstream envelope + sync
             # correlation consume it without a host round trip.

@@ -25,11 +25,12 @@ import logging
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import PROC_CHUNKSIZE
 from ..ops import correlate as corr_ops
-from ..ops import iir, nco
+from ..ops import iir, nco, unpack
 from ..ops.pll import PskParams, initial_state, symbol_scan
 from ..stream import plan as plan_mod
 from ..utils import hostio
@@ -110,9 +111,14 @@ class PskSyncDetector:
 
         max_syncs: list = []
 
+        use_raw = unpack.supports_raw(self.src)
         plan = plan_mod.plan_blocks(self.src.length, self.block_size)
         for ci, (s, e) in enumerate(plan):
-            x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
+            if use_raw:
+                x = jax.jit(unpack.iq_u8_to_complex)(
+                    jnp.asarray(self.src.read_raw(s, e)))
+            else:
+                x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             # chunk-local NCO phase (reference quirk: no chunker)
             if self.freq_fn is not None:
                 freqs = self.freq_fn(ci, len(plan), e - s)

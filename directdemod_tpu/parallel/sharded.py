@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops import fir, resample as rs
+from ..ops import fir, resample as rs, unpack
 from ..stream import plan as plan_mod
 from ..utils import hostio
 from ..models.frontend import DdcFm
@@ -85,7 +85,11 @@ class ShardedDdcFm:
         ndev = self.mesh.shape["time"]
 
         def shard_body(local, gl, tail_in):
-            # local: (Cl, L); halo exchange of each chunk's trailing samples
+            # local: (Cl, L) complex -- or (Cl, 2L) raw uint8 IQ bytes,
+            # unpacked here so the host link only carries 2 bytes/sample
+            if local.dtype == jnp.uint8:
+                local = unpack.iq_u8_to_complex(local, jnp.real(tail_in).dtype)
+            # halo exchange of each chunk's trailing samples
             tails = local[:, -self.halo:]
             left_edge = lax.ppermute(
                 tails[-1], "time",
@@ -112,13 +116,20 @@ class ShardedDdcFm:
         outs: list[np.ndarray] = []
         carry_tail = np.asarray(self.hist0_ext, dtype=np.complex64)
 
+        raw = unpack.supports_raw(source)
         spec = NamedSharding(self.mesh, P("time", None))
         for w0 in range(0, len(full), ndev):
             wave = full[w0:w0 + ndev]
             if len(wave) < ndev:
                 break
-            xs = np.stack([source.read(s, e) for (s, e) in wave])
-            chunks = hostio.device_put(xs, dtype=dtype, sharding=spec)
+            if raw:
+                xs = np.stack([source.read_raw(s, e) for (s, e) in wave])
+                chunks = jax.device_put(xs, spec)
+                tail_np = self._host_unpack(xs[-1][-2 * self.halo:])
+            else:
+                xs = np.stack([source.read(s, e) for (s, e) in wave])
+                chunks = hostio.device_put(xs, dtype=dtype, sharding=spec)
+                tail_np = xs[-1][-self.halo:]
             gidx = jnp.arange(w0, w0 + ndev, dtype=jnp.int32)
             y = np.asarray(self._wave(chunks, gidx,
                                       hostio.device_put(carry_tail)))
@@ -127,7 +138,7 @@ class ShardedDdcFm:
                 cnt = rs.decim_count(e - s, off, fe.stride)
                 row = y[ci, :cnt]
                 outs.append(row[1:] if s == 0 and fe.fm else row)
-            carry_tail = xs[-1][-self.halo:]
+            carry_tail = tail_np
 
         # leftover blocks (wave remainder + the ragged final block): sequential
         done_end = full[(len(full) // ndev) * ndev - 1][1] \
@@ -150,6 +161,11 @@ class ShardedDdcFm:
                 outs.append(np.asarray(y))
                 done_end = e
         return np.concatenate(outs), fe.out_rate
+
+    @staticmethod
+    def _host_unpack(raw_bytes: np.ndarray) -> np.ndarray:
+        from ..io.sources import _convert_iq_u8
+        return _convert_iq_u8(np.asarray(raw_bytes))
 
     def _boundary_c(self, source, s: int, dtype):
         """c value of the last kept output before global sample s."""

@@ -42,24 +42,31 @@ class ArraySource:
 
 
 def worker(iq_path: str) -> None:
-    """One decode attempt on the default (TPU) backend; prints JSON."""
+    """One decode attempt on the default (TPU) backend; prints JSON.
+
+    Decodes from the uint8 .dat capture file (written next to the .npy), so
+    the timed path is the production one: file bytes -> raw-u8 upload ->
+    device unpack -> image."""
+    from directdemod_tpu.io.sources import IQDat
     from directdemod_tpu.models.noaa import NoaaDecoder
 
-    iq = np.load(iq_path)
     fs = 2048000
+    src = IQDat(iq_path + ".dat", fs)
 
-    def decode(sig):
-        dec = NoaaDecoder(ArraySource(sig, fs), offset=30000)
+    def decode():
+        dec = NoaaDecoder(src, offset=30000)
         useful = dec.useful
         img = dec.get_image()
         return useful, img, dec
 
     t0 = time.perf_counter()
-    decode(iq[: 4 * fs])                   # compile warm-up on a short slice
+    src.limit(0, 4 * fs)                   # compile warm-up on a short slice
+    decode()
+    src.limit()
     warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    useful, img, dec = decode(iq)
+    useful, img, dec = decode()
     dt = time.perf_counter() - t0
 
     import jax
@@ -108,6 +115,12 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         iq_path = os.path.join(td, "capture.npy")
         np.save(iq_path, iq.astype(np.complex64))
+        # interleaved-uint8 .dat for the production file->image path; the
+        # synth already quantized, so real/imag + 127.5 are exact bytes
+        raw = np.empty(2 * len(iq), dtype=np.uint8)
+        raw[0::2] = np.round(iq.real + 127.5).astype(np.uint8)
+        raw[1::2] = np.round(iq.imag + 127.5).astype(np.uint8)
+        raw.tofile(iq_path + ".dat")
 
         res = None
         for attempt in range(args.retries):

@@ -108,3 +108,51 @@ def test_doppler_tracker(rng):
     trk = doppler.DopplerTracker(raw, fs, center, chan, bandwidth=20000)
     shift = trk.correct(0, 2)
     assert abs(shift - 5000) < 600        # within a couple of FFT bins
+
+
+def test_read_raw_and_device_unpack(tmp_path, iq_bytes):
+    """Raw uint8 ingest: read_raw slices bytes; ops/unpack on device matches
+    the host byte contract (ref source.py:117-118) exactly."""
+    import jax.numpy as jnp
+    from directdemod_tpu.ops import unpack
+
+    p = str(tmp_path / "a.dat")
+    iq_bytes.tofile(p)
+    src = sources.IQDat(p)
+    assert unpack.supports_raw(src)
+    raw = src.read_raw(10, 20)
+    assert raw.dtype == np.uint8 and len(raw) == 20
+    got = np.asarray(unpack.iq_u8_to_complex(jnp.asarray(raw)))
+    assert np.array_equal(got, src.read(10, 20))
+    # windowed source: read_raw honors limit() like read does
+    src.limit(100, 200)
+    assert np.array_equal(
+        np.asarray(unpack.iq_u8_to_complex(jnp.asarray(src.read_raw(0, 50)))),
+        src.read(0, 50))
+    assert not unpack.supports_raw(sources.ArraySource(np.zeros(4), 1000))
+
+
+def test_feeder_raw_matches_complex(tmp_path, iq_bytes):
+    """BlockFeeder raw mode yields uint8 blocks the DDC unpacks to the same
+    audio as the host-unpacked complex feed."""
+    import jax.numpy as jnp
+    from directdemod_tpu.io.feeder import BlockFeeder
+    from directdemod_tpu.models.frontend import DdcFm
+    from directdemod_tpu.ops import design
+
+    p = str(tmp_path / "a.dat")
+    iq_bytes.tofile(p)
+    src = sources.IQDat(p, 20000)
+    fe = DdcFm(20000, 300, design.blackmanharris(151), 4000, fm=True)
+
+    outs = {}
+    for raw in (False, True):
+        state = fe.init_state(jnp.complex64)
+        ys = []
+        with BlockFeeder(src, 2000, raw=raw) as feeder:
+            for (s, e, x) in feeder:
+                assert (x.dtype == jnp.uint8) == raw
+                y, state = fe.process_block(x, state, s)
+                ys.append(np.asarray(y))
+        outs[raw] = np.concatenate(ys)
+    assert np.allclose(outs[True], outs[False], atol=1e-6)
