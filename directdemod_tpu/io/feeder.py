@@ -49,7 +49,7 @@ class BlockFeeder:
                 if self._stop.is_set():
                     return
                 if self.raw:
-                    block = jnp.asarray(self.source.read_raw(s, e))
+                    block = hostio.device_put_u8(self.source.read_raw(s, e))
                 else:
                     block = hostio.device_put(self.source.read(s, e),
                                               dtype=self.dtype)

@@ -28,7 +28,7 @@ def _needle_2mhz() -> np.ndarray:
 class FuncubeDecoder(PskSyncDetector):
     def __init__(self, sigsrc, offset, bw=None, center_frequency=None,
                  signal_freq=None, corrfreq=False, dtype=jnp.complex64,
-                 block_size=None):
+                 block_size=None, n_segments=None, mesh=None):
         bw = int(bw) if bw else K.FUNCUBE_DEFAULT_BW
         params = PskParams(
             fs=sigsrc.sampFreq, sym_rate=K.FUNCUBE_SYMRATE, qpsk=False,
@@ -72,7 +72,8 @@ class FuncubeDecoder(PskSyncDetector):
 
         from ..constants import PROC_CHUNKSIZE as _PC
         super().__init__(sigsrc, offset, bw, params, cfg, freq_fn=freq_fn,
-                         dtype=dtype, block_size=block_size or _PC)
+                         dtype=dtype, block_size=block_size or _PC,
+                         n_segments=n_segments, mesh=mesh)
 
     @property
     def getSyncs(self):

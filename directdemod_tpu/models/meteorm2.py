@@ -40,7 +40,8 @@ def _needle(bits: np.ndarray) -> np.ndarray:
 
 
 class MeteorM2Decoder(PskSyncDetector):
-    def __init__(self, sigsrc, offset, bw=None, dtype=jnp.complex64):
+    def __init__(self, sigsrc, offset, bw=None, dtype=jnp.complex64,
+                 n_segments=None, mesh=None):
         bw = int(bw) if bw else K.METEOR_DEFAULT_BW
         params = PskParams(
             fs=sigsrc.sampFreq, sym_rate=K.METEOR_SYMRATE, qpsk=True,
@@ -56,7 +57,8 @@ class MeteorM2Decoder(PskSyncDetector):
             arm_end_syms=int(1.0 * K.METEOR_SYMRATE),
             frame_spacing=K.METEOR_FRAME_SPACING_S * sigsrc.sampFreq,
             spacing_tol=0.05 * sigsrc.sampFreq)
-        super().__init__(sigsrc, offset, bw, params, cfg, dtype=dtype)
+        super().__init__(sigsrc, offset, bw, params, cfg, dtype=dtype,
+                         n_segments=n_segments, mesh=mesh)
 
     @property
     def getSyncs(self):

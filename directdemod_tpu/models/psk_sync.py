@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..constants import PROC_CHUNKSIZE
 from ..ops import correlate as corr_ops
 from ..ops import iir, nco, unpack
-from ..ops.pll import PskParams, initial_state, symbol_scan
+from ..ops.pll import (PskParams, initial_state, symbol_scan,
+                       symbol_scan_segments)
 from ..stream import plan as plan_mod
 from ..utils import hostio
 
@@ -65,7 +66,15 @@ class PskSyncDetector:
 
     def __init__(self, sigsrc, offset, bw: int, params: PskParams,
                  cfg: _SyncConfig, freq_fn=None, dtype=jnp.complex64,
-                 block_size: int = PROC_CHUNKSIZE):
+                 block_size: int = PROC_CHUNKSIZE,
+                 n_segments: int | None = None, mesh=None,
+                 warmup_symbols: int = 2000):
+        """`n_segments` > 1 switches the PLL to the segment-parallel scan
+        (ops/pll.symbol_scan_segments): each block is split into segments with
+        a `warmup_symbols` re-lock halo, scanned concurrently (vmapped on one
+        chip; sharded over `mesh`'s time axis when given). This is the
+        approximate scaling mode -- the same re-lock-transient tolerance the
+        reference accepts at its own chunk boundaries (SURVEY 2.4)."""
         self.src = sigsrc
         self.offset = float(offset)
         self.bw = bw
@@ -74,6 +83,11 @@ class PskSyncDetector:
         self.freq_fn = freq_fn      # optional per-chunk Doppler freq array fn
         self.block_size = int(block_size)
         self.dtype = dtype
+        self.mesh = mesh
+        if n_segments is None and mesh is not None:
+            n_segments = int(mesh.shape["time"])
+        self.n_segments = int(n_segments) if n_segments else 1
+        self.warmup_symbols = int(warmup_symbols)
         self._useful = 0
         self._syncs = None
         # pass-2 incremental state
@@ -112,11 +126,14 @@ class PskSyncDetector:
         max_syncs: list = []
 
         use_raw = unpack.supports_raw(self.src)
+        parallel = self.n_segments > 1
+        warm = int(self.warmup_symbols * p.symbol_period) if parallel else 0
+        filt_prefix = None        # previous block's filtered tail (device)
         plan = plan_mod.plan_blocks(self.src.length, self.block_size)
         for ci, (s, e) in enumerate(plan):
             if use_raw:
                 x = jax.jit(unpack.iq_u8_to_complex)(
-                    jnp.asarray(self.src.read_raw(s, e)))
+                    hostio.device_put_u8(self.src.read_raw(s, e)))
             else:
                 x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
             # chunk-local NCO phase (reference quirk: no chunker)
@@ -130,22 +147,41 @@ class PskSyncDetector:
                                           / self.src.sampFreq), jnp.asarray(anch))
             x, lp_state = lp.apply(x, lp_state)
 
-            scan_state, outs = symbol_scan(p, x, scan_state, sync_j, sync1_j)
-            valid = np.asarray(outs.valid)
-            ai = np.asarray(outs.a_idx)[valid] + s
-            ph = np.asarray(outs.phase_out)[valid]
-            ch = np.asarray(outs.chosen)[valid]
-            mf = np.asarray(outs.minsync)[valid]
+            if parallel:
+                if filt_prefix is not None:
+                    xw = jnp.concatenate([filt_prefix, x])
+                    prefix = int(filt_prefix.shape[0])
+                else:
+                    xw, prefix = x, 0
+                outs, owned = symbol_scan_segments(
+                    p, xw, sync_j, sync1_j, self.n_segments,
+                    self.warmup_symbols, owned_start=prefix, mesh=self.mesh)
+                ow = np.asarray(owned)
+                seg_take = lambda arr: np.concatenate(
+                    [np.asarray(arr)[si][ow[si]]
+                     for si in range(self.n_segments)])
+                ai = seg_take(outs.a_idx) - prefix + s
+                ph = seg_take(outs.phase_out)
+                ch = seg_take(outs.chosen)
+                mf = seg_take(outs.minsync)
+                filt_prefix = xw[-warm:]
+            else:
+                scan_state, outs = symbol_scan(p, x, scan_state, sync_j,
+                                               sync1_j)
+                valid = np.asarray(outs.valid)
+                ai = np.asarray(outs.a_idx)[valid] + s
+                ph = np.asarray(outs.phase_out)[valid]
+                ch = np.asarray(outs.chosen)[valid]
+                mf = np.asarray(outs.minsync)[valid]
+                # rebase the carried anchor into the next block's coordinates
+                scan_state = scan_state._replace(
+                    anchor=scan_state.anchor - jnp.int32(e - s))
             base_ctr = sum(len(a) for a in a_idx)
             a_idx.append(ai)
             phases.append(ph)
             chosens.append(ch)
             for k in np.flatnonzero(mf):
                 minsyncs.append((base_ctr + k + 1, int(ai[k])))
-
-            # rebase the carried anchor into the next block's coordinates
-            scan_state = scan_state._replace(
-                anchor=scan_state.anchor - jnp.int32(e - s))
 
             # pass 2 incremental processing with available stream
             xs = hostio.device_get(x)

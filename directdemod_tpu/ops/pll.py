@@ -267,35 +267,42 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
 
 
 def segment_plan(n: int, n_segments: int, warmup_symbols: int,
-                 symbol_period: float) -> list[tuple[int, int, int]]:
+                 symbol_period: float, owned_start: int = 0
+                 ) -> list[tuple[int, int, int]]:
     """(start, end, scan_from) spans for block-parallel PLL processing.
 
-    Each segment owns an equal slice of the stream but starts scanning
+    Each segment owns an equal slice of [owned_start, n) but starts scanning
     `warmup_symbols` earlier (clamped at 0) so AGC/Costas/Gardner re-lock
     before the owned region -- the same transient tolerance the reference
-    accepts at its own chunk boundaries (SURVEY 2.4). Segment 0 has no warmup.
+    accepts at its own chunk boundaries (SURVEY 2.4). `owned_start` lets a
+    caller prepend warmup context from the previous stream block so segment 0
+    re-locks too (it has no warmup only at the true start of the capture).
     """
-    per = -(-n // n_segments)
+    per = -(-(n - owned_start) // n_segments)
     warm = int(warmup_symbols * symbol_period)
     plan = []
     for i in range(n_segments):
-        s = i * per
+        s = owned_start + i * per
         e = min(n, s + per)
         plan.append((s, e, max(0, s - warm)))
     return plan
 
 
 def symbol_scan_segments(p: PskParams, x: jnp.ndarray, sync, sync1,
-                         n_segments: int, warmup_symbols: int = 2000):
+                         n_segments: int, warmup_symbols: int = 2000,
+                         owned_start: int = 0, mesh=None):
     """Run `symbol_scan` independently over overlapping segments (vmapped --
     the parallel/approximate mode; exact sequential mode is `symbol_scan`).
 
     Returns per-segment SymbolOut plus an `owned` mask that drops warmup
     symbols (those whose A-sample falls before the segment's owned region).
-    a_idx values are global. Suitable for vmapping over devices/shards.
+    a_idx values are global (in x's coordinates). With `mesh`, the segment
+    axis is sharded over the mesh's `time` axis so the vmapped scans run one
+    per device under the SPMD partitioner.
     """
     n = int(x.shape[0])
-    plan = segment_plan(n, n_segments, warmup_symbols, p.symbol_period)
+    plan = segment_plan(n, n_segments, warmup_symbols, p.symbol_period,
+                        owned_start)
     seg_len = max(e - sf for (_, e, sf) in plan)
     starts = jnp.asarray([sf for (_, _, sf) in plan], jnp.int32)
     owned_from = jnp.asarray([s for (s, _, _) in plan], jnp.int32)
@@ -309,7 +316,17 @@ def symbol_scan_segments(p: PskParams, x: jnp.ndarray, sync, sync1,
     init_b = jax.tree.map(lambda v: jnp.broadcast_to(v, (n_segments,) + v.shape),
                           init)
     scan_f = lambda xs, st: symbol_scan(p, xs, st, sync, sync1)
-    _, outs = jax.vmap(scan_f)(segs, init_b)
+    if mesh is not None:
+        # route through the SPMD partitioner: one segment scan per device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        xspec = NamedSharding(mesh, P("time", None))
+        sspec = jax.tree.map(
+            lambda v: NamedSharding(
+                mesh, P(*(("time",) + (None,) * (v.ndim - 1)))), init_b)
+        _, outs = jax.jit(jax.vmap(scan_f),
+                          in_shardings=(xspec, sspec))(segs, init_b)
+    else:
+        _, outs = jax.vmap(scan_f)(segs, init_b)
     a_global = outs.a_idx + starts[:, None]
     owned = outs.valid & (a_global >= owned_from[:, None]) \
         & (a_global < owned_to[:, None])

@@ -124,7 +124,7 @@ class ShardedDdcFm:
                 break
             if raw:
                 xs = np.stack([source.read_raw(s, e) for (s, e) in wave])
-                chunks = jax.device_put(xs, spec)
+                chunks = hostio.device_put_u8(xs, sharding=spec)
                 tail_np = self._host_unpack(xs[-1][-2 * self.halo:])
             else:
                 xs = np.stack([source.read(s, e) for (s, e) in wave])

@@ -51,6 +51,33 @@ def device_put(x: np.ndarray, dtype=None, sharding=None):
     return jax.device_put(arr, sharding) if sharding is not None else arr
 
 
+def _u32_to_u8(words, n: int):
+    u8 = lax.bitcast_convert_type(words, jnp.uint8)   # (..., W, 4)
+    return u8.reshape(u8.shape[:-2] + (-1,))[..., :n]
+
+
+def device_put_u8(raw: np.ndarray, sharding=None):
+    """Upload a uint8 byte buffer (last axis = bytes); over the tunnel (which
+    rejects 8-bit transfers like it rejects complex64) the bytes ride as a
+    uint32 view and are bitcast back on device -- link traffic stays
+    1 byte/byte."""
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    if not _needs_shim():
+        arr = jnp.asarray(raw)
+        return jax.device_put(arr, sharding) if sharding is not None else arr
+    n = raw.shape[-1]
+    pad = (-n) % 4
+    if pad:
+        raw = np.concatenate([raw, np.zeros(raw.shape[:-1] + (pad,), np.uint8)],
+                             axis=-1)
+    words = raw.view(np.uint32)
+    if sharding is not None:
+        wd = jax.device_put(words, sharding)
+        return jax.jit(_u32_to_u8, static_argnums=(1,),
+                       out_shardings=sharding)(wd, n)
+    return jax.jit(_u32_to_u8, static_argnums=(1,))(jnp.asarray(words), n)
+
+
 def device_get(y) -> np.ndarray:
     """Boundary-safe np.asarray for device arrays (any shape)."""
     if isinstance(y, np.ndarray):

@@ -165,3 +165,39 @@ def test_funcube_small_blocks_cross_chunk():
     assert big.useful == 1 and small.useful == 1
     assert len(syncs_big) == len(syncs_small) == 1
     assert abs(syncs_big[0] - syncs_small[0]) < 0.01 * FS
+
+
+@pytest.mark.slow
+def test_funcube_segment_parallel_matches_sequential():
+    """Segment-parallel PLL wired into the decoder (n_segments>1): same sync
+    detections as the sequential scan on the e2e fixture, within the re-lock
+    tolerance the reference accepts at chunk boundaries."""
+    spacing = K.FUNCUBE_FRAME_SPACING_S
+    cap = _bpsk_capture([2.0, 2.0 + spacing], dur_s=2.0 + spacing + 1.2)
+    seq = FuncubeDecoder(ArraySource(cap, FS), 5000)
+    syncs_seq = seq.get_syncs()
+    par = FuncubeDecoder(ArraySource(cap, FS), 5000, n_segments=4)
+    syncs_par = par.get_syncs()
+    assert seq.useful == 1 and par.useful == 1
+    assert len(syncs_par) == len(syncs_seq) == 1
+    assert abs(syncs_par[0] - syncs_seq[0]) < 0.01 * FS
+
+
+@pytest.mark.slow
+def test_meteor_segment_parallel_on_mesh():
+    """Meteor QPSK with the segment axis sharded over an 8-device `time`
+    mesh: detections agree with the sequential scan."""
+    import jax
+    spacing = K.METEOR_FRAME_SPACING_S
+    frames = [0.5 + i * spacing for i in range(5)]
+    cap = _qpsk_capture(frames, dur_s=1.4)
+    seq = MeteorM2Decoder(ArraySource(cap, FS), 4000)
+    syncs_seq = seq.get_syncs()
+    mesh = jax.make_mesh((8,), ("time",))
+    par = MeteorM2Decoder(ArraySource(cap, FS), 4000, mesh=mesh)
+    syncs_par = par.get_syncs()
+    assert seq.useful == 1 and par.useful == 1
+    assert len(syncs_par) >= 2
+    # every sequential sync has a parallel counterpart nearby
+    for s0 in syncs_seq:
+        assert min(abs(s0 - s1) for s1 in syncs_par) < 0.02 * FS
