@@ -51,7 +51,6 @@ Decoder flags:
 \t-d meteor : Meteor QPSK sync detector
 \t--mesh=<n> : shard the NOAA decode over an n-device time mesh
 """)
-    sys.exit(0 if not err else 1)
 
 
 def main(argv=None) -> int:
@@ -69,6 +68,7 @@ def main(argv=None) -> int:
     flags = [o[0] for o in optlist]
     if "-h" in flags or "--help" in flags:
         usage()
+        return 0
     map_draw = "--map" in flags
     corr_freq_shift = "--freqshift" in flags
     if len(args) != 1:
@@ -228,7 +228,7 @@ def main(argv=None) -> int:
 
             report["channels"].append(entry)
         except Exception as e:  # per-channel fence (ref main.py:347-349)
-            logging.error("An error occured during decoding of frequency %d of %d",
+            logging.error("An error occurred during decoding of frequency %d of %d",
                           i + 1, len(freqs))
             logging.error("The error is: %s", e)
 

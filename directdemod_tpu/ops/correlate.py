@@ -15,12 +15,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-
-def _fft_len(n: int) -> int:
-    """Next TPU-fast FFT length >= n (2^a 3^b 5^c with a >= 3; odd 5-smooth
-    lengths lower to dense DFT matmuls on TPU — see ops.fftutil.tpu_fft_ok)."""
-    from .fftutil import _smooth_len
-    return _smooth_len(n)
+from .fftutil import smooth_len as _fft_len
 
 
 def fft_convolve_full(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

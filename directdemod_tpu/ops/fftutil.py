@@ -1,7 +1,9 @@
 """Arbitrary-length FFTs that stay on the TPU fast path.
 
-XLA:TPU only has fast FFTs for *even* 5-smooth (2^a 3^b 5^c, a >= 1) lengths;
-anything else lowers to a dense DFT matmul — an O(n^2) HBM bomb (a 136k-point
+XLA:TPU only has fast FFTs for 5-smooth lengths with a healthy power-of-two
+factor (2^a 3^b 5^c with 8 | n, or any 5-smooth n <= 4096 — the measured
+criterion in `tpu_fft_ok`); anything else lowers to a dense DFT matmul — an
+O(n^2) HBM bomb (a 136k-point
 Hilbert remainder block would allocate a 74 GB f32[n,n]). The reference freely FFTs
 ragged lengths (scipy.signal.hilbert at ref demod_am.py:29 over arbitrary
 blocks, scipy.signal.resample at ref comm.py:114 / decode_noaa.py:350), so the
@@ -43,7 +45,7 @@ def tpu_fft_ok(n: int) -> bool:
     return is_5smooth(n) and (n % 8 == 0 or n <= 4096)
 
 
-def _smooth_len(n: int) -> int:
+def smooth_len(n: int) -> int:
     """Next TPU-fast FFT length >= n: 2^a 3^b 5^c with a >= 3 (see
     tpu_fft_ok — lengths without a healthy power-of-two factor go dense)."""
     best = 1 << max(0, (n - 1)).bit_length()
@@ -68,7 +70,7 @@ def _bluestein_consts(n: int):
     k = np.arange(n, dtype=np.int64)
     ph = (k * k) % (2 * n)                      # exact: w^{k^2}, w = e^{-i pi/n}
     A = np.exp(-1j * np.pi * ph.astype(np.float64) / n)
-    m = _smooth_len(2 * n - 1)
+    m = smooth_len(2 * n - 1)
     j = np.arange(-(n - 1), n, dtype=np.int64)
     phb = (j * j) % (2 * n)
     b = np.exp(1j * np.pi * phb.astype(np.float64) / n)
@@ -125,6 +127,8 @@ def irfft_any(x: jnp.ndarray, n: int, axis: int = -1) -> jnp.ndarray:
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
     half = n // 2 + 1
+    if x.shape[-1] < half:     # jnp.fft.irfft zero-pads short spectra; match it
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, half - x.shape[-1])])
     x = x[..., :half]
     tail = jnp.conj(x[..., 1: (n + 1) // 2])[..., ::-1]
     full = jnp.concatenate([x, tail], axis=-1)

@@ -89,9 +89,13 @@ class IirFilter:
     block: int = 4096
 
     @staticmethod
+    @lru_cache(maxsize=128)
     def design_butter(fs, cutoff_a, cutoff_b=None, order=6, kind="lowpass",
                       block=4096) -> "IirFilter":
-        """Mirrors the reference constructor (ref filters.py:238-273)."""
+        """Mirrors the reference constructor (ref filters.py:238-273).
+
+        Cached: chunk loops (and `am.envelope_lowpass`) re-request the same
+        design every block; the host-side ZPK->SOS walk runs once."""
         if kind in ("lowpass", "highpass"):
             wn = cutoff_a / (0.5 * fs)
         else:
@@ -153,8 +157,8 @@ class IirFilter:
         rdt = jnp.float64 if x.dtype in (jnp.float64, jnp.complex128) else jnp.float32
         cdt = jnp.complex128 if rdt == jnp.float64 else jnp.complex64
 
-        from .fftutil import _smooth_len
-        m = _smooth_len(2 * L - 1)     # >= linear-conv length, TPU-fast FFT size
+        from .fftutil import smooth_len
+        m = smooth_len(2 * L - 1)      # >= linear-conv length, TPU-fast FFT size
         hf = jnp.fft.fft(jnp.asarray(h, dtype=rdt).astype(cdt), n=m)
         Sj = jnp.asarray(S, dtype=rdt)
         Gj = jnp.asarray(G, dtype=rdt)

@@ -43,7 +43,7 @@ def mix(x: jnp.ndarray, omega: float, anchors: jnp.ndarray,
     return x * osc.astype(x.dtype)
 
 
-def mix_array_freq(x: jnp.ndarray, freqs: jnp.ndarray, fs: float,
+def mix_array_freq(x: jnp.ndarray, freqs: np.ndarray, fs: float,
                    start: int = 0) -> jnp.ndarray:
     """Per-sample frequency offsets (Doppler ramps), chunk-local indices.
 
@@ -52,18 +52,21 @@ def mix_array_freq(x: jnp.ndarray, freqs: jnp.ndarray, fs: float,
     each chunk -- ref decode_funcube.py:199,228). Phase is the *instantaneous*
     frequency times absolute time, not an integrated phase, mirroring the
     reference formula exactly.
+
+    `freqs` must be host-side (the Doppler track is computed on the host); the
+    mean frequency's phase ramp rides the same host-fp64 anchor mechanism as
+    `phase_anchors`, and only the small per-sample delta runs in fp32 — a
+    Doppler spread of a few kHz over a 20M-sample chunk keeps the fp32 delta
+    phase well under 1e-3 rad of error.
     """
-    n = x.shape[0]
-    base = jnp.asarray(freqs.reshape(-1)[0], dtype=jnp.float32)
-    delta = freqs.astype(jnp.float32) - base
+    n = int(x.shape[0])
+    freqs_np = np.asarray(freqs, dtype=np.float64).reshape(-1)
+    base = float(freqs_np[0])
+    delta = jnp.asarray(freqs_np - base, dtype=jnp.float32)
     idx_local = jnp.arange(n, dtype=jnp.float32)
-    # base-frequency part: sub-block anchored for accuracy
-    omega = -2.0 * np.pi * np.asarray(base, dtype=np.float64) / fs
-    nsub = -(-n // SUBBLOCK)
-    anchor_idx = (start + SUBBLOCK * jnp.arange(nsub, dtype=jnp.float64 if False else jnp.float32))
-    # anchors computed in fp32 here are fine because start is chunk-local (<= 2e7)
-    anchors = jnp.mod(jnp.float32(omega) * anchor_idx, 2.0 * np.pi)
-    ramp = jnp.float32(omega) * jnp.arange(SUBBLOCK, dtype=jnp.float32)
+    anchors = jnp.asarray(phase_anchors(base, fs, start, n))
+    omega = np.float32(-2.0 * np.pi * base / fs)
+    ramp = omega * jnp.arange(SUBBLOCK, dtype=jnp.float32)
     ph_base = (anchors[:, None] + ramp[None, :]).reshape(-1)[:n]
     ph_delta = (-2.0 * np.pi / fs) * delta * (idx_local + jnp.float32(start))
     osc = jnp.exp(1j * (ph_base + ph_delta)).astype(x.dtype)

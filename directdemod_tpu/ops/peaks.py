@@ -13,10 +13,19 @@ candidate lists, which are thousands of elements, not tens of millions.
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+log = logging.getLogger(__name__)
+
+# Compacted-candidate cap: a healthy APT sync correlation yields ~2 candidates
+# per second of capture, so 2^18 covers ~36 h; the cap binding means the
+# adaptive threshold collapsed (e.g. pure noise) and candidates were DROPPED.
+CANDIDATE_CAP = 1 << 18
 
 
 def adaptive_threshold(cor: jnp.ndarray, samp_rate: float,
@@ -34,16 +43,26 @@ def adaptive_threshold(cor: jnp.ndarray, samp_rate: float,
 
 
 def candidates_above(cor: jnp.ndarray, threshold: jnp.ndarray,
-                     cap: int = 1 << 18) -> tuple[np.ndarray, np.ndarray]:
+                     cap: int = CANDIDATE_CAP) -> tuple[np.ndarray, np.ndarray]:
     """Host-side (index, value) pairs where cor > threshold, in index order.
 
     The mask reduction runs on device; indices come back compacted to at most
-    `cap` entries (a 2-per-second sync signal leaves candidates sparse)."""
+    `cap` entries (a 2-per-second sync signal leaves candidates sparse). When
+    the cap binds — a noise capture whose adaptive threshold collapsed — the
+    tail of the candidate list is dropped and a warning is logged."""
     n = cor.shape[0]
     cap = min(cap, n)
-    idx = jnp.nonzero(cor > threshold, size=cap, fill_value=-1)[0]
+    mask = cor > threshold
+    idx = jnp.nonzero(mask, size=cap, fill_value=-1)[0]
     idx_np = np.asarray(idx)
     idx_np = idx_np[idx_np >= 0]
+    if len(idx_np) == cap and cap < n:
+        total = int(jnp.sum(mask))
+        if total > cap:
+            log.warning(
+                "sync candidate cap bound: %d above-threshold samples, "
+                "keeping the first %d — threshold likely collapsed "
+                "(noise-only capture?)", total, cap)
     vals = np.asarray(cor[jnp.asarray(idx_np)]) if len(idx_np) else np.empty(0)
     return idx_np, vals
 

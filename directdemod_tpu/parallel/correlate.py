@@ -10,6 +10,7 @@ SURVEY §5.8 prescribes (halos for convolution, all_gather for sync lists).
 """
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import numpy as np
@@ -82,6 +83,14 @@ def sharded_find_sync_peaks(mesh, x: np.ndarray, needle: np.ndarray,
     thr = avg_top - wiggle * (avg_top - avg_bot)
     cor = np.asarray(cor_sh).reshape(-1)[:n]
     idx = np.flatnonzero(cor > thr)
+    if len(idx) > peaks_ops.CANDIDATE_CAP:
+        # same bound (and warning) as the sequential ops/peaks path, so the
+        # two paths behave identically on threshold-collapse captures
+        log.warning(
+            "sync candidate cap bound: %d above-threshold samples, keeping "
+            "the first %d — threshold likely collapsed (noise-only capture?)",
+            len(idx), peaks_ops.CANDIDATE_CAP)
+        idx = idx[:peaks_ops.CANDIDATE_CAP]
     if len(idx) == 0:
         return np.empty(0, dtype=np.int64)
     grouped = peaks_ops.group_peaks(idx, cor[idx], min_dist_s * samp_rate)

@@ -68,3 +68,28 @@ def test_resample_awkward_lengths(rng):
         got = np.asarray(rs.fft_resample(jnp.asarray(x), num))
         want = ss.resample(x, num)
         assert np.max(np.abs(got - want)) < 1e-8, num
+
+
+def test_bluestein_large_realistic_n(rng):
+    """ADVICE r1: the motivating ~136k-sample Hilbert remainder block, in
+    complex64 — the chirp multiplies run in c64 on TPU, so the error is
+    larger than the small-n cases; the documented bound is 2e-4 relative
+    (observed ~3e-5 on CPU c64, leaving headroom for TPU rounding)."""
+    n = 136470                      # 2 * 3^3 * 7 * 19^2: non-smooth, large
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(fftutil.fft_any(jnp.asarray(x)))
+    want = np.fft.fft(x.astype(np.complex128))
+    scale = np.abs(want).max()
+    assert np.max(np.abs(got - want)) / scale < 2e-4
+
+
+def test_irfft_any_short_spectrum_pads(rng):
+    """ADVICE r1: jnp.fft.irfft(n=...) zero-pads a spectrum shorter than
+    n//2+1; the Bluestein fallback must match."""
+    n = 1009                        # prime -> Bluestein path
+    x = rng.standard_normal(n).astype(np.float64)
+    spec = np.fft.rfft(x)[: n // 2 - 100]        # deliberately short
+    got = np.asarray(fftutil.irfft_any(jnp.asarray(spec), n))
+    want = np.fft.irfft(spec, n=n)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-9
