@@ -24,13 +24,18 @@ class BlockFeeder:
     background prefetch. Use as a context manager or rely on exhaustion."""
 
     def __init__(self, source, block_size: int, dtype=jnp.complex64,
-                 depth: int = 2, blocks=None, raw: bool | str = False):
+                 depth: int = 2, blocks=None, raw: bool | str = False,
+                 sharding=None):
         """`raw`: upload interleaved uint8 bytes (2 bytes/sample) instead of
         host-unpacked complex (8 bytes/sample); the consumer unpacks on device
-        (ops/unpack). 'auto' enables it when the source supports read_raw."""
+        (ops/unpack). 'auto' enables it when the source supports read_raw.
+        `sharding`: optional jax sharding for the uploaded block (e.g.
+        replicated over a mesh so sharded consumers can mix it with
+        mesh-distributed state)."""
         from ..ops import unpack
         self.source = source
         self.dtype = dtype
+        self.sharding = sharding
         if raw == "auto":
             raw = unpack.supports_raw(source)
         elif raw and not unpack.supports_raw(source):
@@ -49,10 +54,12 @@ class BlockFeeder:
                 if self._stop.is_set():
                     return
                 if self.raw:
-                    block = hostio.device_put_u8(self.source.read_raw(s, e))
+                    block = hostio.device_put_u8(self.source.read_raw(s, e),
+                                                 sharding=self.sharding)
                 else:
                     block = hostio.device_put(self.source.read(s, e),
-                                              dtype=self.dtype)
+                                              dtype=self.dtype,
+                                              sharding=self.sharding)
                 self._q.put((s, e, block))
         except Exception as exc:  # surface errors to the consumer
             self._q.put(exc)

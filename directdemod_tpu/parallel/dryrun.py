@@ -1,12 +1,18 @@
-"""Multi-chip dry run: compile + execute the full sharded front-end step.
+"""Multi-chip dry run: compile + execute the PRODUCTION sharded paths.
 
-Builds an (time x channel) mesh over `n_devices`, shards a multi-channel
-multi-chunk IQ batch over both axes, and runs ONE step of the full pipeline
-with its real collectives:
+Unlike a pattern demo, this drives the real classes end to end on an
+(time x channel) mesh so a regression in any of them fails the dry run:
 
-  * `ppermute` over `time`  -- overlap-save halo exchange (filter tails)
-  * `psum` over `channel`   -- cross-channel power normalization stat
-  * `all_gather` over `time`-- per-chunk sync-candidate merge
+  * `ShardedDdcFm.process`        -- wave-parallel fused DDC+FM with its
+    `ppermute` halo exchange over `time` (parallel/sharded.py), checked
+    against the sequential `DdcFm.process` stream;
+  * `MultiDdcFm(mesh=...)`        -- channel-data-parallel front end over
+    `channel` (models/multichannel.py), checked per channel;
+  * `sharded_find_sync_peaks`     -- needle-halo correlation + all_gather
+    adaptive threshold (parallel/correlate.py), checked against the
+    sequential sync search;
+  * `symbol_scan_segments(mesh=)` -- segment-parallel PLL scan sharded over
+    `time` (ops/pll.py), checked for owned-symbol coverage.
 
 This is the shape of the production pod run: channels are data-parallel,
 the capture's time axis is sequence-parallel, and all cross-shard state is
@@ -17,80 +23,88 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops import design, fir
+from ..io.sources import ArraySource
+from ..models.frontend import DdcFm
+from ..models.multichannel import MultiDdcFm
+from ..ops import correlate as corr_ops, design, peaks as peaks_ops
+from ..ops.pll import PskParams, symbol_scan_segments
+from .correlate import sharded_find_sync_peaks
+from .mesh import make_mesh
+from .sharded import ShardedDdcFm
+
+FS = 2048000
 
 
-def dryrun(n_devices: int, chunk_len: int = 4096) -> dict:
+def _capture(n: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / FS
+    x = (np.exp(1j * (2 * np.pi * 30000 * t + 3 * np.sin(2 * np.pi * 400 * t)))
+         + 0.1 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
+    return x.astype(np.complex64)
+
+
+def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
     channel = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     time = n_devices // channel
-    mesh = jax.make_mesh((time, channel), ("time", "channel"))
-
+    mesh = make_mesh(time=time, channel=channel,
+                     devices=jax.devices()[:n_devices])
     taps = design.blackmanharris(151)
-    k = len(taps)
-    stride = 34
-    halo = k - 1 + stride
-    fs = 2048000.0
-    freqs = np.asarray([30000.0, -15000.0])[:channel]
-    taps_mod = np.stack([
-        taps * np.exp(1j * 2 * np.pi * f / fs * np.arange(k)) for f in freqs])
-    rots = np.exp(-1j * 2 * np.pi * freqs / fs * stride)
+    x = _capture(2 * time * chunk_len + chunk_len // 2)
+    src = ArraySource(x, FS)
 
-    n_chunks = 2 * time
-    m_max = (halo + chunk_len - k) // stride + 1   # VALID strided windows
-    rng = np.random.default_rng(0)
-    x = (rng.standard_normal((channel, n_chunks, chunk_len))
-         + 1j * rng.standard_normal((channel, n_chunks, chunk_len))
-         ).astype(np.complex64)
+    # -- 1. sequence-parallel front end (ppermute halo over `time`)
+    fe = DdcFm(FS, 30000, taps, 60000, fm=True)
+    ref, _ = fe.process(src, block_size=chunk_len)
+    got, _ = ShardedDdcFm(fe, mesh).process(src, block_size=chunk_len)
+    err_fe = float(np.max(np.abs(got - ref)))
+    assert got.shape == ref.shape and err_fe < 1e-3, err_fe
 
-    def shard_body(xl, tapsl, rotl):
-        # xl: (1, cl, L) local; halo exchange along time
-        ndev_t = time
-        tails = xl[:, :, -halo:]
-        left_edge = lax.ppermute(
-            tails[:, -1], "time", [(i, (i + 1) % ndev_t) for i in range(ndev_t)])
-        my_t = lax.axis_index("time")
-        first = jnp.where(my_t == 0, jnp.ones_like(left_edge), left_edge)
-        prev = jnp.concatenate([first[:, None], tails[:, :-1]], axis=1)
-        xh = jnp.concatenate([prev, xl], axis=2)
+    # -- 2. channel-parallel front end (per-channel state over `channel`)
+    freqs = tuple(30000.0 - 7000.0 * i for i in range(2 * channel))
+    multi = MultiDdcFm(FS, freqs, taps, 60000, fm=True, mesh=mesh)
+    got_mc, _ = multi.process(src, block_size=chunk_len)
+    ref_mc, _ = MultiDdcFm(FS, freqs, taps, 60000, fm=True).process(
+        src, block_size=chunk_len)
+    err_mc = float(np.max(np.abs(got_mc - ref_mc)))
+    assert got_mc.shape == ref_mc.shape and err_mc < 1e-3, err_mc
 
-        def chunk(xrow, w, rot):
-            c = fir.conv_valid(xrow, w[::-1], stride=stride)
-            prev_c = jnp.concatenate([c[:1], c[:-1]])
-            return jnp.angle(c * jnp.conj(prev_c) * rot)
+    # -- 3. sharded sync search (needle halos + all_gather threshold)
+    from .. import constants as K
+    rate = 4160 * 4
+    needle = corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
+    env = np.full(8 * rate, 0.2, np.float32)
+    rng = np.random.default_rng(1)
+    env += 0.01 * rng.standard_normal(len(env)).astype(np.float32)
+    pulses = np.arange(rate // 2, len(env) - len(needle), rate // 2)
+    for s in pulses:
+        env[s:s + len(needle)] += np.asarray(needle, np.float32)
+    seq = peaks_ops.find_sync_peaks(
+        corr_ops.norm_correlate(jnp.asarray(env), jnp.asarray(needle)),
+        rate, len(needle), K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+    got_sync = sharded_find_sync_peaks(
+        mesh, env, np.asarray(needle), rate,
+        K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+    assert len(got_sync) == len(seq) and len(seq) > 0, (got_sync, seq)
 
-        audio = jax.vmap(lambda ch_x, w, rot: jax.vmap(
-            lambda xr: chunk(xr, w, rot))(ch_x))(xh, tapsl, rotl[:, 0])
+    # -- 4. segment-parallel PLL scan sharded over `time`
+    p = PskParams(fs=FS, sym_rate=12000, qpsk=False, agc_mean0=180.0,
+                  agc_gain_cap=20.0, costas_bw=0.05235833333 * 6,
+                  sync_len=33, minsync_thresh=120.0)
+    sync = np.zeros(33, np.float32)
+    xs = jnp.asarray(x[:time * 8192])
+    outs, owned = symbol_scan_segments(p, xs, sync, sync, n_segments=time,
+                                       warmup_symbols=8, mesh=mesh)
+    n_owned = int(np.sum(np.asarray(owned)))
+    assert n_owned > 0
 
-        # channel-parallel power stat via psum, time all_gather of peak stats
-        power = jnp.mean(audio ** 2)
-        total_power = lax.psum(power, "channel")
-        peaks = jnp.max(jnp.abs(audio), axis=-1)      # (1, cl)
-        gathered = lax.all_gather(peaks, "time", axis=1, tiled=True)
-        return audio, total_power[None, None], gathered
-
-    step = jax.jit(jax.shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P("channel", "time", None), P("channel", None),
-                  P("channel", None)),
-        out_specs=(P("channel", "time", None), P("channel", "time"),
-                   P("channel", None)),
-        check_vma=False))
-
-    xs = jax.device_put(jnp.asarray(x),
-                        NamedSharding(mesh, P("channel", "time", None)))
-    audio, tp, gathered = step(xs, jnp.asarray(taps_mod, jnp.complex64),
-                               jnp.asarray(rots, jnp.complex64)[:, None])
-    audio.block_until_ready()
     out = {
         "mesh": dict(mesh.shape),
-        "audio_shape": tuple(audio.shape),
-        "gathered_shape": tuple(gathered.shape),
-        "total_power": float(np.asarray(tp).ravel()[0]),
-        "finite": bool(np.all(np.isfinite(np.asarray(audio)))),
+        "frontend_err": err_fe,
+        "multichannel_err": err_mc,
+        "syncs": [int(v) for v in got_sync],
+        "pll_owned_symbols": n_owned,
+        "finite": bool(np.all(np.isfinite(got))),
     }
     assert out["finite"], "dry run produced non-finite output"
-    assert audio.shape == (channel, n_chunks, m_max)
     return out

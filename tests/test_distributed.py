@@ -20,11 +20,11 @@ jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
                            num_processes=nproc, process_id=pid)
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 from directdemod_tpu.models.frontend import DdcFm
-from directdemod_tpu.ops import design, fir, resample as rs
+from directdemod_tpu.ops import design, resample as rs
 from directdemod_tpu.parallel import distributed
+from directdemod_tpu.parallel.sharded import ShardedDdcFm
 
 FS = 2048000
 L = 100_000
@@ -36,8 +36,8 @@ x = (np.exp(1j*(2*np.pi*30000*t + 3*np.sin(2*np.pi*400*t)))
      ).astype(np.complex64)
 
 fe = DdcFm(FS, 30000, design.blackmanharris(151), 60000, fm=True)
-halo = len(fe.taps) - 1 + fe.stride
 mesh = jax.make_mesh((8,), ("time",), devices=jax.devices())
+sh = ShardedDdcFm(fe, mesh)          # the PRODUCTION sharded front-end
 
 # each process owns half the chunks
 my = slice(pid * 4, pid * 4 + 4)
@@ -47,39 +47,9 @@ gidx = jax.make_array_from_process_local_data(
     NamedSharding(mesh, P("time")),
     np.arange(N_CHUNKS, dtype=np.int32)[my])
 
-w0 = 2.0*np.pi*float(fe.freq)/float(fe.fs)
-hist0 = np.exp(1j*w0*np.arange(-halo, 0)).astype(np.complex64)
-
-def shard_body(localc, gl, tail_in):
-    tails = localc[:, -halo:]
-    left = lax.ppermute(tails[-1], "time", [(i, (i+1) % 8) for i in range(8)])
-    pos = lax.axis_index("time")
-    first = jnp.where(pos == 0, tail_in, left)
-    prev = jnp.concatenate([first[None], tails[:-1]], axis=0)
-    xh = jnp.concatenate([prev, localc], axis=1)
-
-    def chunk_fn(row, g):
-        J, k = fe.stride, len(fe.taps)
-        m_max = -(-L // J)
-        tm = jnp.asarray(fe.taps_mod, dtype=row.dtype)
-        w = tm[::-1]
-        m = (jnp.mod(g, J) * (L % J)) % J
-        off = ((J - m) % J).astype(jnp.int32)
-        need = (m_max - 1) * J + k
-        seg = lax.dynamic_slice(jnp.pad(row, (0, J)), (halo + off - (k-1),), (need,))
-        c = fir.conv_valid(seg, w, stride=J)
-        pseg = lax.dynamic_slice(row, (halo + off - J - (k-1),), (k,))
-        c_prev = jnp.sum(pseg * w)
-        rot = jnp.asarray(fe.rot, dtype=row.dtype)
-        prevc = jnp.concatenate([c_prev[None], c[:-1]])
-        return jnp.angle(c * jnp.conj(prevc) * rot)
-
-    return jax.vmap(chunk_fn)(xh, gl)
-
-step = jax.jit(jax.shard_map(shard_body, mesh=mesh,
-                             in_specs=(P("time", None), P("time"), P(None)),
-                             out_specs=P("time", None)))
-y = step(chunks, gidx, jnp.asarray(hist0))
+# run the production wave kernel verbatim (halo ppermute + closed-form
+# phases); the carried tail is the virtual all-ones NCO history for chunk 0
+y = sh._wave(chunks, gidx, np.asarray(sh.hist0_ext, np.complex64))
 rows = sorted(y.addressable_shards, key=lambda sh: sh.index[0].start or 0)
 out_rows = [np.asarray(sh.data).reshape(-1, np.asarray(sh.data).shape[-1])
             for sh in rows]

@@ -68,6 +68,25 @@ def test_multichannel_matches_per_channel(capture):
         assert np.max(np.abs(got[ci] - ref)) < 1e-9, ci
 
 
+def test_multichannel_on_channel_mesh(capture):
+    """Channel-sharded MultiDdcFm == the unsharded one-pass run."""
+    from directdemod_tpu.models.multichannel import MultiDdcFm
+    src = ArraySource(capture[:400_000], FS)
+    freqs = (30000.0, -12000.0, 5000.0, -40000.0)
+    taps = design.blackmanharris(151)
+    ref, rate = MultiDdcFm(FS, freqs, taps, 60000, fm=True).process(
+        src, block_size=150_000, dtype=jnp.complex128)
+    mesh = make_mesh(time=2, channel=4)
+    got, rate2 = MultiDdcFm(FS, freqs, taps, 60000, fm=True,
+                            mesh=mesh).process(
+        src, block_size=150_000, dtype=jnp.complex128)
+    assert rate == rate2
+    assert np.max(np.abs(got - ref)) < 1e-12
+
+    with pytest.raises(ValueError):
+        MultiDdcFm(FS, freqs[:3], taps, 60000, mesh=mesh)
+
+
 def test_stream_run_sharded(capture):
     """Chainable API end of the mesh path."""
     from directdemod_tpu.stream.api import Stream
