@@ -22,6 +22,7 @@ rate.
 from __future__ import annotations
 
 import logging
+from functools import partial
 
 import numpy as np
 import jax
@@ -202,9 +203,20 @@ class NoaaDecoder:
             audio, rate = self._audio
             bp = iir.IirFilter.design_butter(rate, 400, 4400, order=6,
                                              kind="bandpass")
-            filtered = bp.zero_phase(jnp.asarray(audio, dtype=jnp.float32))
-            # one transfer down: the calibration walk is host-side O(lines)
-            env = np.asarray(self._am_envelope(filtered))
+            if self.mesh is not None:
+                # exact sharded filtfilt + block-parallel envelope: with the
+                # sharded front end and sync search above, no device stage of
+                # the image path is sequential (the calibration walk in
+                # apt.assemble_image is host-side O(lines))
+                from ..parallel.am import sharded_envelope_blocked
+                from ..parallel.iir import sharded_zero_phase
+                filtered = sharded_zero_phase(
+                    self.mesh, bp, np.asarray(audio, dtype=np.float32))
+                env = sharded_envelope_blocked(self.mesh, filtered, AM_BLOCK)
+            else:
+                filtered = bp.zero_phase(jnp.asarray(audio, dtype=jnp.float32))
+                # one transfer down: the calibration walk is host O(lines)
+                env = np.asarray(self._am_envelope(filtered))
 
             csync_a = np.asarray(self._sync_a, dtype=np.float64) \
                 / self._sync_rate * rate
@@ -284,18 +296,36 @@ class NoaaDecoder:
                                          positive=use_norm_correlate)
             nj = jnp.asarray(needle, dtype=jnp.float32)
             env_rows, cor_rows = [], []
-            # group-batched so arbitrarily long captures stay within HBM
-            for g0 in range(0, len(wins), 64):
-                batch = hostio.device_put(np.stack(wins[g0:g0 + 64]),
-                                          dtype=self.dtype)
-                env = _accurate_window_envelope(batch, self.offset, fs)
-                filt = jax.vmap(
-                    lambda r: fir.fir_zero_phase(r, design.hamming(492)))(env)
-                cor = (jax.vmap(lambda r: corr_ops.norm_correlate(r, nj))(filt)
-                       if use_norm_correlate
-                       else jax.vmap(lambda r: corr_ops.correlate_same(r, nj))(filt))
-                env_rows.append(np.asarray(env))
-                cor_rows.append(np.asarray(cor))
+            if self.mesh is not None:
+                # windows are independent: shard the batch axis over `time`
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ndev = self.mesh.shape["time"]
+                group = 64 * ndev
+                for g0 in range(0, len(wins), group):
+                    rows = np.stack(wins[g0:g0 + group])
+                    nw = rows.shape[0]
+                    pad = (-nw) % ndev
+                    if pad:    # repeated rows (not zeros: NaN via norm), dropped
+                        rows = np.concatenate(
+                            [rows, np.repeat(rows[:1], pad, 0)])
+                    batch = hostio.device_put(
+                        rows, dtype=self.dtype,
+                        sharding=NamedSharding(self.mesh, P("time", None)))
+                    env, cor = _accurate_windows_sharded(
+                        self.mesh, batch, nj, (self.offset, float(fs)),
+                        use_norm_correlate)
+                    env_rows.append(np.asarray(env)[:nw])
+                    cor_rows.append(np.asarray(cor)[:nw])
+            else:
+                # group-batched so arbitrarily long captures stay within HBM
+                for g0 in range(0, len(wins), 64):
+                    batch = hostio.device_put(np.stack(wins[g0:g0 + 64]),
+                                              dtype=self.dtype)
+                    env, cor = _accurate_windows_batch(
+                        batch, nj, (self.offset, float(fs)),
+                        use_norm_correlate)
+                    env_rows.append(np.asarray(env))
+                    cor_rows.append(np.asarray(cor))
             env_np = np.concatenate(env_rows)
             cor_np = np.concatenate(cor_rows)
 
@@ -339,3 +369,32 @@ def _accurate_window_envelope(batch, offset, fs):
         return am_ops.envelope(d)
 
     return jax.vmap(one)(mixed)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _accurate_windows_batch(batch, nj, offset_fs: tuple, use_norm: bool):
+    """envelope + hamming zero-phase + correlation for a window batch
+    (ref decode_noaa.py:844-877, batched)."""
+    offset, fs = offset_fs
+    env = _accurate_window_envelope(batch, offset, fs)
+    filt = jax.vmap(lambda r: fir.fir_zero_phase(r, design.hamming(492)))(env)
+    corr_fn = (corr_ops.norm_correlate if use_norm
+               else corr_ops.correlate_same)
+    cor = jax.vmap(lambda r: corr_fn(r, nj))(filt)
+    return env, cor
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _accurate_windows_sharded(mesh, batch, nj, offset_fs: tuple,
+                              use_norm: bool):
+    """_accurate_windows_batch with the window-batch axis sharded over the
+    mesh's `time` axis (windows are independent; no collectives)."""
+    from jax.sharding import PartitionSpec as P
+
+    def body(b, n):
+        return _accurate_windows_batch(b, n, offset_fs, use_norm)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("time", None), P(None)),
+        out_specs=(P("time", None), P("time", None)))(batch, nj)

@@ -1,10 +1,10 @@
 """Arbitrary-length FFTs that stay on the TPU fast path.
 
-XLA:TPU only has fast FFTs for 5-smooth lengths with a healthy power-of-two
-factor (2^a 3^b 5^c with 8 | n, or any 5-smooth n <= 4096 — the measured
-criterion in `tpu_fft_ok`); anything else lowers to a dense DFT matmul — an
-O(n^2) HBM bomb (a 136k-point
-Hilbert remainder block would allocate a 74 GB f32[n,n]). The reference freely FFTs
+XLA:TPU only has fast FFTs for 5-smooth lengths whose odd part is small
+(2^a 3^b 5^c with 8 | n and 3^b 5^c <= 2048, or any 5-smooth n <= 4096 — the
+measured criterion in `tpu_fft_ok`); anything else lowers to a dense DFT
+matmul — an O(n^2) HBM bomb (a 243000-point correlation FFT allocated a
+236 GB f32[n,n] before this bound was measured). The reference freely FFTs
 ragged lengths (scipy.signal.hilbert at ref demod_am.py:29 over arbitrary
 blocks, scipy.signal.resample at ref comm.py:114 / decode_noaa.py:350), so the
 numeric contract pins the exact length-n DFT.
@@ -35,25 +35,38 @@ def is_5smooth(n: int) -> bool:
     return n == 1
 
 
+MAX_ODD_FACTOR = 2048   # measured v5e bound on the non-power-of-two part
+
+
+def odd_part(n: int) -> int:
+    while n % 2 == 0:
+        n //= 2
+    return n
+
+
 def tpu_fft_ok(n: int) -> bool:
     """True when XLA:TPU lowers a length-n FFT to the fast mixed-radix path.
 
-    Measured on v5e: even 5-smooth lengths (240000 = 2^7*3*5^4, 120000,
-    2^k, ...) compile to real FFTs; odd lengths (273375 = 3^7*5^3) fall back
-    to a dense f32[n,n] DFT matmul that OOMs HBM for large n. Small lengths
-    are fine either way (the dense matrix is tiny)."""
-    return is_5smooth(n) and (n % 8 == 0 or n <= 4096)
+    Measured on v5e: the compiler runs power-of-two FFT stages and handles the
+    remaining ODD factor densely, so lengths whose odd part is small compile
+    to real FFTs (240000 = 2^7*3*5^4 -> odd part 1875: 0.5 ms, ~0 temp HBM;
+    30000, 122880, all 2^k likewise) while a large odd part explodes
+    (243000 = 2^3*3^5*5^3 -> odd part 30375: the compile helper builds a
+    dense f32[n, n] DFT -- 236 GB -- and dies). Small lengths are fine either
+    way (the dense matrix is tiny)."""
+    return is_5smooth(n) and (
+        n <= 4096 or (n % 8 == 0 and odd_part(n) <= MAX_ODD_FACTOR))
 
 
 def smooth_len(n: int) -> int:
-    """Next TPU-fast FFT length >= n: 2^a 3^b 5^c with a >= 3 (see
-    tpu_fft_ok — lengths without a healthy power-of-two factor go dense)."""
+    """Next TPU-fast FFT length >= n: 2^a 3^b 5^c with a >= 3 and odd part
+    3^b 5^c <= MAX_ODD_FACTOR (see tpu_fft_ok)."""
     best = 1 << max(0, (n - 1)).bit_length()
     best = max(best, 8)
     p5 = 1
-    while p5 < best:
+    while p5 <= MAX_ODD_FACTOR:
         p35 = p5
-        while p35 < best:
+        while p35 <= MAX_ODD_FACTOR:
             x = p35 * 8
             while x < n:
                 x *= 2

@@ -1,14 +1,17 @@
 """Host<->device transfer shims.
 
-The axon TPU tunnel (single-chip dev attach) cannot transfer complex64 buffers
-in either direction (UNIMPLEMENTED), and one failed transfer poisons the
-client session. Complex *compute* on device is fine. So every boundary
-crossing goes through float32:
+The axon TPU tunnel (single-chip dev attach) can only transfer float32 and
+32-bit-word buffers; complex64, int32, int8/uint8 and bool transfers raise
+UNIMPLEMENTED (measured), and one failed transfer poisons the client session.
+On-device *compute* in those dtypes is fine. So every boundary crossing goes
+through float32/uint32:
 
-  * put: upload the interleaved float32 view, combine to complex in a jitted
-    kernel (output stays device-resident);
-  * get: split real/imag into one stacked float32 array in a jitted kernel,
-    transfer that, recombine on host.
+  * complex: interleaved/stacked float32 views, (re)combined in a jitted
+    kernel on the device side;
+  * uint8: rides as a uint32 view, bitcast back on device;
+  * integers: exact (hi, lo) float32 pair with hi = v // 4096, lo = v % 4096
+    (both exact in f32 for |v| < 2^36 -- sample indices in a 36 h capture);
+  * bool: a 0/1 float32 array.
 
 On CPU (tests) the shims pass straight through. The detour costs one extra
 device-side copy, negligible against the transfer itself.

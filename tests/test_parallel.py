@@ -149,3 +149,40 @@ def test_noaa_decoder_on_mesh():
     assert np.array_equal(np.asarray(seq.get_crude_sync()[0]),
                           np.asarray(par.get_crude_sync()[0]))
     assert np.mean(img_seq == img_par) > 0.99
+    # accurate sync: sharded window batch == sequential batch
+    acc_seq = seq.get_accurate_sync()
+    acc_par = par.get_accurate_sync()
+    assert acc_seq[0] == acc_par[0] and acc_seq[4] == acc_par[4]
+    assert np.allclose(acc_seq[2], acc_par[2], atol=1e-5)
+
+
+def test_sharded_iir_matches_sequential():
+    """Exact sharded lfilter / filtfilt == the single-device SOS engine."""
+    from directdemod_tpu.ops.iir import IirFilter
+    from directdemod_tpu.parallel.iir import sharded_lfilter, sharded_zero_phase
+    rng = np.random.default_rng(3)
+    filt = IirFilter.design_butter(60235, 400, 4400, order=6, kind="bandpass")
+    mesh = make_mesh(time=8, channel=1)
+    for n in (100_000, 100_003):        # even split + ragged tail
+        x = rng.standard_normal(n)
+        zi = np.asarray(filt.initial_state_step(jnp.float64)) * x[0]
+        ref_y, ref_z = filt.apply(jnp.asarray(x), jnp.asarray(zi))
+        got_y, got_z = sharded_lfilter(mesh, filt, x, zi)
+        scale = np.max(np.abs(np.asarray(ref_y)))
+        assert np.max(np.abs(got_y - np.asarray(ref_y))) < 1e-9 * scale, n
+        assert np.allclose(got_z, np.asarray(ref_z), atol=1e-9 * scale)
+
+        ref_zp = np.asarray(filt.zero_phase(jnp.asarray(x)))
+        got_zp = sharded_zero_phase(mesh, filt, x)
+        assert np.max(np.abs(got_zp - ref_zp)) < 1e-9 * scale, n
+
+
+def test_sharded_envelope_matches_sequential():
+    from directdemod_tpu.ops import am as am_ops
+    from directdemod_tpu.parallel.am import sharded_envelope_blocked
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(7 * 2400 + 991).astype(np.float32)
+    mesh = make_mesh(time=8, channel=1)
+    ref = np.asarray(am_ops.envelope_blocked(jnp.asarray(x), 2400))
+    got = sharded_envelope_blocked(mesh, x, 2400)
+    assert np.max(np.abs(got - ref)) < 1e-5
