@@ -52,25 +52,80 @@ def capture_time_from_filename(file_name: str) -> datetime | None:
     return None
 
 
+def _render_basemap(img, center, dest_rot) -> bool:
+    """Legacy basemap renderer (ref decode_noaa.py:172-183): Cassini
+    projection centered on the track midpoint, yellow coast/country lines.
+    Returns False (caller falls through to cartopy) if basemap is absent."""
+    try:
+        from mpl_toolkits.basemap import Basemap
+    except ImportError:
+        log.warning("basemap not installed")
+        return False
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    h, w = img.shape[:2]
+    plt.figure()
+    m = Basemap(projection="cass", lon_0=center[1], lat_0=center[0],
+                width=w * 4000 * 0.81, height=h * 4000 * 0.81, resolution="i")
+    m.drawcoastlines(color="yellow")
+    m.drawcountries(color="yellow")
+    plt.imshow(img, cmap="gray", extent=(*plt.xlim(), *plt.ylim()))
+    plt.savefig(dest_rot, bbox_inches="tight", dpi=1000)
+    plt.close()
+    return True
+
+
+def _render_cartopy(img, center, dest_rot) -> bool:
+    """Cartopy renderer (ref decode_noaa.py:206-231): PlateCarree with the
+    image extent derived by offsetting the track midpoint by half the image
+    footprint in meters."""
+    try:
+        import cartopy.crs as ccrs
+        import cartopy.feature
+    except ImportError:
+        log.error("Both basemap and cartopy not installed. "
+                  "Please install either.")
+        return False
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dx = img.shape[0] * 4000 / 2 * 0.81
+    dy = img.shape[1] * 4000 / 2 * 0.81
+    leftbot = offset_latlon(center, -dx, -dy)
+    righttop = offset_latlon(center, dx, dy)
+    extent = (leftbot[1], righttop[1], leftbot[0], righttop[0])
+
+    plt.figure()
+    ax = plt.axes(projection=ccrs.PlateCarree())
+    ax.imshow(img, origin="upper", cmap="gray", extent=extent,
+              transform=ccrs.PlateCarree())
+    ax.coastlines(resolution="50m", color="yellow", linewidth=1)
+    ax.add_feature(cartopy.feature.BORDERS, linestyle="-", edgecolor="yellow")
+    plt.savefig(dest_rot, bbox_inches="tight", dpi=1000)
+    plt.close()
+    return True
+
+
 def map_overlay(image_a: np.ndarray, capture_time: datetime, satellite: str,
                 dest_rot: str, dest_norot: str, tle_file: str | None = None
                 ) -> list:
-    """Render the overlay; returns the list of files written."""
+    """Render the overlay; returns the list of files written.
+
+    Renderer preference order matches the reference (decode_noaa.py:117-132):
+    basemap first, cartopy as fallback, error when neither is available."""
     try:
         from pyorbital.orbital import Orbital
     except ImportError:
         log.error("pyorbital not installed")
         return []
     try:
-        import cartopy.crs as ccrs
-        import cartopy.feature
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
         from scipy import ndimage
         from PIL import Image
     except ImportError:
-        log.error("cartopy (or basemap) not installed; cannot draw map")
+        log.error("scipy/PIL not installed; cannot draw map")
         return []
 
     orb = Orbital(satellite) if tle_file is None else \
@@ -87,20 +142,9 @@ def map_overlay(image_a: np.ndarray, capture_time: datetime, satellite: str,
 
     img = ndimage.rotate(im, rot)
     rimg = img.copy()
-    dx = img.shape[0] * 4000 / 2 * 0.81
-    dy = img.shape[1] * 4000 / 2 * 0.81
-    leftbot = offset_latlon(center, -dx, -dy)
-    righttop = offset_latlon(center, dx, dy)
-    extent = (leftbot[1], righttop[1], leftbot[0], righttop[0])
-
-    plt.figure()
-    ax = plt.axes(projection=ccrs.PlateCarree())
-    ax.imshow(img, origin="upper", cmap="gray", extent=extent,
-              transform=ccrs.PlateCarree())
-    ax.coastlines(resolution="50m", color="yellow", linewidth=1)
-    ax.add_feature(cartopy.feature.BORDERS, linestyle="-", edgecolor="yellow")
-    plt.savefig(dest_rot, bbox_inches="tight", dpi=1000)
-    plt.close()
+    if not (_render_basemap(img, center, dest_rot)
+            or _render_cartopy(img, center, dest_rot)):
+        return []
     created = [dest_rot]
 
     try:

@@ -21,6 +21,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import correlate as corr_ops
 
+log = logging.getLogger(__name__)
+
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _sharded_corr(mesh, x_sharded, needle, k_top: int):

@@ -12,7 +12,11 @@ Unlike a pattern demo, this drives the real classes end to end on an
     adaptive threshold (parallel/correlate.py), checked against the
     sequential sync search;
   * `symbol_scan_segments(mesh=)` -- segment-parallel PLL scan sharded over
-    `time` (ops/pll.py), checked for owned-symbol coverage.
+    `time` (ops/pll.py), checked for owned-symbol coverage;
+  * `sharded_zero_phase` + `sharded_envelope_blocked` -- the NOAA image
+    stage's exact time-sharded filtfilt (rank-2 state correction +
+    all_gather, parallel/iir.py) and block-parallel Hilbert envelope
+    (parallel/am.py), checked against the sequential ops.
 
 This is the shape of the production pod run: channels are data-parallel,
 the capture's time axis is sequence-parallel, and all cross-shard state is
@@ -98,8 +102,27 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
     n_owned = int(np.sum(np.asarray(owned)))
     assert n_owned > 0
 
+    # -- 5. sharded NOAA image stage: exact filtfilt + blocked envelope
+    from ..ops import am as am_ops, iir as iir_ops
+    from .am import sharded_envelope_blocked
+    from .iir import sharded_zero_phase
+    bp = iir_ops.IirFilter.design_butter(60000, 400, 4400, order=6,
+                                         kind="bandpass")
+    audio = np.asarray(ref, np.float32)
+    ref_bp = np.asarray(bp.zero_phase(jnp.asarray(audio)))
+    got_bp = sharded_zero_phase(mesh, bp, audio)
+    scale = float(np.max(np.abs(ref_bp))) or 1.0
+    err_bp = float(np.max(np.abs(got_bp - ref_bp))) / scale
+    assert err_bp < 1e-5, err_bp
+    blk = len(audio) // (2 * time)
+    ref_env = np.asarray(am_ops.envelope_blocked(jnp.asarray(audio), blk))
+    got_env = sharded_envelope_blocked(mesh, audio, blk)
+    err_env = float(np.max(np.abs(got_env - ref_env)))
+    assert err_env < 1e-4, err_env
+
     out = {
         "mesh": dict(mesh.shape),
+        "image_stage_err": max(err_bp, err_env),
         "frontend_err": err_fe,
         "multichannel_err": err_mc,
         "syncs": [int(v) for v in got_sync],

@@ -1,7 +1,6 @@
 """AFSK1200 / AX.25: CRC golden vectors and end-to-end frame decode."""
 import numpy as np
 import pytest
-import jax.numpy as jnp
 
 from directdemod_tpu import constants as K
 from directdemod_tpu.io.sources import ArraySource

@@ -4,7 +4,7 @@ import pytest
 import scipy.signal as ss
 import jax.numpy as jnp
 
-from directdemod_tpu.ops import am, correlate as C, design, fir, fm, iir, nco, resample
+from directdemod_tpu.ops import am, correlate as C, fir, fm, iir, nco, resample
 from directdemod_tpu import constants as K
 
 

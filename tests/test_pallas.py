@@ -1,7 +1,6 @@
 """Pallas fused DDC+FM kernel vs the stream reference numerics (interpret
 mode; compiled mode exercised on real TPU by bench/verify)."""
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from directdemod_tpu.models.frontend import DdcFm

@@ -3,7 +3,6 @@ virtual CPU mesh (the TPU analog of the reference's chunked==unchunked
 experiments 3/5/6)."""
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 from directdemod_tpu.io.sources import ArraySource

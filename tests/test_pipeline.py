@@ -10,7 +10,7 @@ import scipy.signal as ss
 import jax.numpy as jnp
 
 from directdemod_tpu.stream.pipeline import (Pipeline, Shift, Filter, BwLim,
-                                             FmDemod, Resample, Butter, Apply)
+                                             FmDemod, Resample, Butter)
 from directdemod_tpu.stream.plan import plan_blocks
 from directdemod_tpu.models.frontend import DdcFm
 from directdemod_tpu.ops import design, iir
