@@ -181,20 +181,29 @@ def butter_sos(order: int, wn, btype: str = "lowpass") -> np.ndarray:
 
 def remez(numtaps: int, bands, desired, fs: float = 1.0,
           weight=None, maxiter: int = 250) -> np.ndarray:
-    """Multiband equiripple FIR design (type-I linear phase).
+    """Multiband equiripple FIR design (type I/II linear phase).
 
     Same calling convention as the subset of scipy.signal.remez used at ref
-    filters.py:314 (`remez(ntaps, flat_band_edges_hz, gains, Hz=Fs)`).
-    Tries our Parks-McClellan exchange; if it fails to converge (or produces a
-    filter violating the band spec) falls back to SciPy's remez when available,
-    then to a weighted least-squares multiband design.
+    filters.py:314 (`remez(ntaps, flat_band_edges_hz, gains, Hz=Fs)`),
+    including the reference's even default ntaps=128.
+
+    The native Parks-McClellan exchange (`_remez_pm`) converges across the
+    reference's usage envelope (tests/test_design.py pins odd/even taps,
+    1-5 bands, weighted specs); the SciPy fallback is reachable only for
+    degenerate over-parameterized specs (far more taps than the occupied
+    bandwidth supports), where SciPy's own exchange diverges too — we return
+    its result there for behavioral parity with the reference, with a
+    warning. The final fallback is a weighted least-squares design for when
+    SciPy is absent.
     """
     try:
         h = _remez_pm(numtaps, bands, desired, fs=fs, weight=weight, maxiter=maxiter)
         if np.all(np.isfinite(h)) and _band_spec_ok(h, bands, desired, fs):
             return h
-    except Exception:
-        pass
+        log.warning("remez: native PM result violates the band spec "
+                    "(degenerate over-parameterized design?); falling back")
+    except Exception as e:
+        log.warning("remez: native PM failed (%s); falling back", e)
     try:
         import scipy.signal as _ss
         return _ss.remez(numtaps, bands, desired, weight=weight, fs=fs)
@@ -241,163 +250,173 @@ def _firls_multiband(numtaps: int, bands, desired, fs: float = 1.0,
     return h
 
 
+def _bary_weights(xe: np.ndarray) -> np.ndarray:
+    """Barycentric weights d_k = 1/prod(xe_k - xe_j), computed in log space
+    and max-centered so the largest |d| is 1 (a common scale factor cancels
+    in every barycentric ratio; without the centering, >~60 extremal points
+    overflow float64)."""
+    n = len(xe)
+    logd = np.empty(n)
+    sgn = np.empty(n)
+    for k in range(n):
+        diff = xe[k] - np.delete(xe, k)
+        if np.any(diff == 0.0):
+            raise FloatingPointError("coincident extremal frequencies")
+        logd[k] = -np.sum(np.log(np.abs(diff)))
+        sgn[k] = np.prod(np.sign(diff))
+    return sgn * np.exp(logd - logd.max())
+
+
+def _bary_eval(x: np.ndarray, xe: np.ndarray, d: np.ndarray,
+               ce: np.ndarray) -> np.ndarray:
+    """Evaluate the barycentric interpolant through (xe, ce) at points x."""
+    dx = x[:, None] - xe[None, :]
+    hit = np.abs(dx) < 1e-14
+    t = d / np.where(hit, 1.0, dx)
+    vals = (t @ ce) / t.sum(axis=1)
+    i, k = np.nonzero(hit)
+    vals[i] = ce[k]
+    return vals
+
+
 def _remez_pm(numtaps: int, bands, desired, fs: float = 1.0,
               weight=None, maxiter: int = 250) -> np.ndarray:
-    """Parks-McClellan exchange on the cosine basis."""
+    """Parks-McClellan exchange on the Chebyshev (x = cos 2*pi*f) basis.
+
+    Covers the reference's full usage envelope (ref filters.py:279-314):
+    arbitrary non-overlapping multibands with per-band gains/weights, both
+    odd numtaps (type I) and the reference's even default ntaps=128 (type II,
+    via the standard A(f) = cos(pi f) P(cos 2 pi f) factorization, which
+    turns the type-II problem into a type-I exchange with desired/Q and
+    weight*Q).
+    """
     bands = np.asarray(bands, dtype=np.float64) / fs  # -> [0, 0.5]
     desired = np.asarray(desired, dtype=np.float64)
     nb = len(desired)
-    if weight is None:
-        weight = np.ones(nb)
-    weight = np.asarray(weight, dtype=np.float64)
+    weight = np.ones(nb) if weight is None else \
+        np.asarray(weight, dtype=np.float64)
 
-    if numtaps % 2 == 0:
-        raise NotImplementedError("even numtaps (type-II) not supported; use odd")
-    r = (numtaps - 1) // 2 + 1          # number of cosine basis functions
-    next_ = r + 1                        # number of extremal frequencies
+    type2 = numtaps % 2 == 0
+    if type2 and bands[-1] >= 0.5 and desired[-1] != 0.0:
+        raise ValueError("type-II response is forced to 0 at fs/2")
+    r = numtaps // 2 if type2 else (numtaps - 1) // 2 + 1   # basis functions
+    next_ = r + 1                                           # extremals
 
-    # dense frequency grid restricted to the bands; each band gets points
-    # proportional to its width with a healthy floor so extremals can breathe
-    grid_density = 20
+    # dense grid over the bands, ~16 points per basis function distributed by
+    # band width, band edges included exactly
     total_width = sum(bands[2 * i + 1] - bands[2 * i] for i in range(nb))
-    grid = []
-    band_of = []
+    grid, band_of = [], []
     for i in range(nb):
         f0, f1 = bands[2 * i], bands[2 * i + 1]
-        npts = max(int(np.ceil((f1 - f0) / max(total_width, 1e-12)
-                               * 2 * r * grid_density)), 4 * r // nb, 16)
+        npts = max(int(np.ceil((f1 - f0) / max(total_width, 1e-12) * 16 * r)),
+                   16)
         g = np.linspace(f0, f1, npts)
+        if type2:   # Q = cos(pi f) vanishes at 0.5; keep the grid off it
+            g = g[g < 0.5 - 1e-9 / numtaps]
+            if len(g) < 8:
+                g = np.linspace(f0, min(f1, 0.5 - 1e-4), 8)
         grid.append(g)
-        band_of.append(np.full(npts, i))
+        band_of.append(np.full(len(g), i))
     grid = np.concatenate(grid)
     band_of = np.concatenate(band_of)
-    des = desired[band_of]
-    wt = weight[band_of]
+    des = desired[band_of].copy()
+    wt = weight[band_of].copy()
+    if type2:
+        q = np.cos(np.pi * grid)
+        des = des / q
+        wt = wt * q
     ng = len(grid)
-
-    # initial extremal guess: spread per band proportional to its point count
-    counts = np.bincount(band_of, minlength=nb)
-    alloc = np.maximum(np.round(counts / ng * next_).astype(int), 2)
-    while alloc.sum() > next_:
-        alloc[np.argmax(alloc)] -= 1
-    while alloc.sum() < next_:
-        alloc[np.argmax(counts - alloc)] += 1
-    ext_list = []
-    base = 0
-    for i in range(nb):
-        ext_list.append(np.round(np.linspace(base, base + counts[i] - 1,
-                                             alloc[i])).astype(int))
-        base += counts[i]
-    ext = np.unique(np.concatenate(ext_list))[:next_]
-    if len(ext) < next_:
-        extra = np.setdiff1d(np.arange(ng), ext)[: next_ - len(ext)]
-        ext = np.sort(np.concatenate([ext, extra]))
-
+    if ng <= next_:
+        raise ValueError(f"grid too small: {ng} points for {next_} extremals")
     x_grid = np.cos(2 * np.pi * grid)
 
-    def _interp_error(ext_idx):
-        # Solve for delta and the barycentric interpolant on the extremal set.
-        xe = x_grid[ext_idx]
-        # barycentric weights, computed in log space (a common scale factor on d
-        # cancels in every ratio below, so normalize by the mean log magnitude)
-        logd = np.zeros(next_)
-        sgn = np.ones(next_)
-        for k in range(next_):
-            diff = xe[k] - np.delete(xe, k)
-            logd[k] = -np.sum(np.log(np.abs(diff)))
-            sgn[k] = np.prod(np.sign(diff))
-        d = sgn * np.exp(logd - np.mean(logd))
-        sign = (-1.0) ** np.arange(next_)
-        de = des[ext_idx]
-        we = wt[ext_idx]
-        delta = np.sum(d * de) / np.sum(d * sign / we)
-        ce = de - sign * delta / we       # target values of the cosine poly at extremals
-        # barycentric evaluation on full grid
-        num = np.zeros(ng)
-        den = np.zeros(ng)
-        exact = np.full(ng, -1, dtype=int)
-        for k in range(next_):
-            dx = x_grid - xe[k]
-            hit = np.abs(dx) < 1e-14
-            exact[hit] = k
-            dx[hit] = 1.0
-            t = d[k] / dx
-            num += t * ce[k]
-            den += t
-        a_eval = num / den
-        a_eval[exact >= 0] = ce[exact[exact >= 0]]
-        err = wt * (des - a_eval)
-        return delta, err, ce, xe, d
+    # band spans as [start, end] grid-index pairs (for per-band peak search)
+    starts = np.flatnonzero(np.r_[True, np.diff(band_of) != 0])
+    ends = np.r_[starts[1:] - 1, ng - 1]
 
-    last_delta = None
+    ext = np.unique(np.round(np.linspace(0, ng - 1, next_)).astype(int))
+    k = 1
+    while len(ext) < next_:          # duplicates only when bands are tiny
+        ext = np.unique(np.r_[ext, min(ext[-1] + k, ng - 1),
+                              max(ext[0] - k, 0)])
+        k += 1
+    ext = ext[:next_]
+    sign = (-1.0) ** np.arange(next_)
+
+    def _solve(ext_idx):
+        """delta + interpolant values ce on the extremal set."""
+        xe = x_grid[ext_idx]
+        d = _bary_weights(xe)
+        de, we = des[ext_idx], wt[ext_idx]
+        denom = np.sum(d * sign / we)
+        if abs(denom) < 1e-300:
+            raise FloatingPointError("degenerate extremal set")
+        delta = np.sum(d * de) / denom
+        ce = de - sign * delta / we
+        return delta, xe, d, ce
+
+    delta, xe, d, ce = _solve(ext)
     for _ in range(maxiter):
-        delta, err, ce, xe, d = _interp_error(ext)
-        # find new extremals: local maxima of |err| plus band edges
-        cand = [0]
-        s = np.sign(err)
-        for i in range(1, ng - 1):
-            if (np.abs(err[i]) >= np.abs(err[i - 1])) and (np.abs(err[i]) > np.abs(err[i + 1])):
-                cand.append(i)
-        cand.append(ng - 1)
-        # also include exact band-edge indices (transitions in band_of)
-        edges = np.flatnonzero(np.diff(band_of) != 0)
-        cand.extend(edges.tolist())
-        cand.extend((edges + 1).tolist())
-        cand = np.unique(np.asarray(cand))
-        # keep candidates sorted by frequency and prune to alternating set of size next_
-        cand = cand[np.argsort(np.abs(err[cand]))[::-1]]
-        cand = np.sort(cand[: 4 * next_])
-        # enforce sign alternation, keeping the larger |err| of same-sign neighbors
+        err = wt * (des - _bary_eval(x_grid, xe, d, ce))
+        # At the extremal nodes err equals sign_k * delta EXACTLY by
+        # construction, but computing it as des - ce is catastrophic
+        # cancellation (noise >> |delta| in early iterations, where delta is
+        # near zero and interpolation bulges dominate). Overwriting with the
+        # theoretical value keeps the current extremals a valid alternating
+        # candidate skeleton, so the exchange can never collapse below
+        # next_ alternations.
+        err[ext] = sign * delta
+        ae = np.abs(err)
+        # candidate extremals: the current set plus per-band local maxima of
+        # |err| (band edges qualify against their single in-band neighbor,
+        # as in the classic McClellan-Parks-Rabiner search)
+        cand = set(ext.tolist())
+        for lo, hi in zip(starts, ends):
+            for i in range(lo, hi + 1):
+                if (i == lo or ae[i] > ae[i - 1]) and \
+                        (i == hi or ae[i] >= ae[i + 1]):
+                    cand.add(i)
+        # compress same-sign runs (keep the largest |err| of each run)
         kept = []
-        for i in cand:
-            if not kept:
-                kept.append(i)
-            elif np.sign(err[i]) == np.sign(err[kept[-1]]):
-                if np.abs(err[i]) > np.abs(err[kept[-1]]):
+        for i in sorted(cand):
+            if kept and np.sign(err[i]) == np.sign(err[kept[-1]]):
+                if ae[i] > ae[kept[-1]]:
                     kept[-1] = i
             else:
                 kept.append(i)
         while len(kept) > next_:
-            # drop the smaller of the two outermost extremals
-            if np.abs(err[kept[0]]) < np.abs(err[kept[-1]]):
+            # alternation is intact: only endpoint removal preserves it
+            if ae[kept[0]] <= ae[kept[-1]]:
                 kept.pop(0)
             else:
                 kept.pop()
         if len(kept) < next_:
-            break  # degenerate; keep previous extremals
+            raise FloatingPointError(
+                f"extremal set collapsed: {len(kept)} < {next_}")
         new_ext = np.asarray(kept)
-        if last_delta is not None and np.array_equal(new_ext, ext):
+        maxerr = ae.max()
+        delta, xe, d, ce = _solve(new_ext)
+        converged = np.array_equal(new_ext, ext) or \
+            (maxerr - abs(delta)) <= 1e-6 * abs(delta)
+        ext = new_ext
+        if converged:
             break
-        if last_delta is not None and abs(abs(delta) - abs(last_delta)) < 1e-13 * abs(delta):
-            ext = new_ext
-            break
-        ext, last_delta = new_ext, delta
 
-    # Final impulse response: A(f) is a degree-(r-1) cosine polynomial, so it is
-    # determined exactly by its values at the numtaps DFT frequencies. Sample the
-    # barycentric interpolant at k/numtaps and reconstruct via the type-I IDFT.
-    delta, err, ce, xe, d = _interp_error(ext)
-    m = (numtaps - 1) // 2
-    fk = np.arange(m + 1) / float(numtaps)
-    xk = np.cos(2 * np.pi * fk)
-    num = np.zeros(len(xk))
-    den = np.zeros(len(xk))
-    exact = np.full(len(xk), -1, dtype=int)
-    for k in range(len(xe)):
-        dx = xk - xe[k]
-        hit = np.abs(dx) < 1e-13
-        exact[hit] = k
-        dx[hit] = 1.0
-        t = d[k] / dx
-        num += t * ce[k]
-        den += t
-    avals = num / den
-    avals[exact >= 0] = ce[exact[exact >= 0]]
-    # h[M + n] = (1/N) * (A_0 + 2 sum_k A_k cos(2 pi k n / N)), n = -M..M
-    n_idx = np.arange(numtaps) - m
-    cosmat = np.cos(2 * np.pi * np.outer(n_idx, np.arange(1, m + 1)) / numtaps)
-    h = (avals[0] + 2.0 * cosmat @ avals[1:]) / numtaps
-    return h
+    # Exact reconstruction: the optimum A(f) is band-limited to numtaps real
+    # DFT degrees of freedom, so sampling it at k/numtaps and one IDFT of
+    # H_k = A_k exp(-j pi k (numtaps-1)/numtaps) recovers h exactly.
+    n = numtaps
+    fk = np.arange(n // 2 + 1) / float(n)
+    pk = _bary_eval(np.cos(2 * np.pi * fk), xe, d, ce)
+    ak = pk * np.cos(np.pi * fk) if type2 else pk
+    a_full = np.empty(n)
+    a_full[: n // 2 + 1] = ak
+    tail = ak[1: (n + 1) // 2][::-1]
+    a_full[n // 2 + 1:] = -tail if type2 else tail   # A(1-f) = -/+ A(f)
+    if type2:
+        a_full[n // 2] = 0.0
+    hk = a_full * np.exp(-1j * np.pi * np.arange(n) * (n - 1) / n)
+    return np.fft.ifft(hk).real
 
 
 # --------------------------------------------------------------------------- initial conditions
