@@ -11,7 +11,11 @@ taps, Butterworth design, Remez) and SciPy's `lfilter_zi` contract
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 __all__ = [
     "blackmanharris", "hamming", "gaussian", "rolling_average",
@@ -204,11 +208,20 @@ def remez(numtaps: int, bands, desired, fs: float = 1.0,
                     "(degenerate over-parameterized design?); falling back")
     except Exception as e:
         log.warning("remez: native PM failed (%s); falling back", e)
+    # SciPy fallback — but VALIDATE it: scipy.signal.remez silently returns
+    # astronomically diverged coefficients on over-parameterized specs (e.g.
+    # 129 taps over bands occupying 15% of Nyquist: max|H| ~ 1e32), so its
+    # result cannot be trusted unchecked.
     try:
         import scipy.signal as _ss
-        return _ss.remez(numtaps, bands, desired, weight=weight, fs=fs)
+        h = _ss.remez(numtaps, bands, desired, weight=weight, fs=fs)
+        if np.all(np.isfinite(h)) and _band_spec_ok(h, bands, desired, fs):
+            return h
+        log.warning("remez: scipy result also violates the band spec; "
+                    "using regularized least-squares design")
     except Exception:
-        return _firls_multiband(numtaps, bands, desired, fs=fs, weight=weight)
+        pass
+    return _firls_multiband(numtaps, bands, desired, fs=fs, weight=weight)
 
 
 def _band_spec_ok(h, bands, desired, fs, tol: float = 0.15) -> bool:
@@ -226,7 +239,16 @@ def _band_spec_ok(h, bands, desired, fs, tol: float = 0.15) -> bool:
 
 def _firls_multiband(numtaps: int, bands, desired, fs: float = 1.0,
                      weight=None) -> np.ndarray:
-    """Weighted least-squares type-I multiband FIR (fallback when PM diverges)."""
+    """Weighted least-squares type-I multiband FIR (fallback when PM diverges).
+
+    The don't-care (transition) regions are lightly regularized toward a
+    linear interpolation between the neighboring band gains: the unweighted
+    minimum-norm solution of an over-parameterized spec (the only specs that
+    reach this fallback) rings to gains of ~1e5 between bands, which makes the
+    filter useless in practice even though it meets the in-band spec exactly.
+    A 1e-3 relative weight on the transition grid bounds the global response
+    near the band gains while perturbing the in-band fit by <1e-6.
+    """
     bands = np.asarray(bands, dtype=np.float64) / fs
     desired = np.asarray(desired, dtype=np.float64)
     nb = len(desired)
@@ -238,6 +260,20 @@ def _firls_multiband(numtaps: int, bands, desired, fs: float = 1.0,
         fgrid.append(f)
         dgrid.append(np.full(len(f), desired[i]))
         wgrid.append(np.full(len(f), weight[i]))
+    # transition-band regularization grid (linear ramp between band gains;
+    # flat extrapolation below the first band and above the last)
+    w_reg = 1e-3 * float(np.min(weight))
+    gaps = [(0.0, bands[0], desired[0], desired[0])] + \
+        [(bands[2 * i + 1], bands[2 * i + 2], desired[i], desired[i + 1])
+         for i in range(nb - 1)] + \
+        [(bands[-1], 0.5, desired[-1], desired[-1])]
+    for (f0, f1, g0, g1) in gaps:
+        if f1 - f0 <= 1e-9:
+            continue
+        f = np.linspace(f0, f1, max(int(np.ceil((f1 - f0) * 32 * m)), 8))
+        fgrid.append(f)
+        dgrid.append(g0 + (g1 - g0) * (f - f0) / (f1 - f0))
+        wgrid.append(np.full(len(f), w_reg))
     f = np.concatenate(fgrid)
     dsp = np.concatenate(dgrid)
     w = np.sqrt(np.concatenate(wgrid))

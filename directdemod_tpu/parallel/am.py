@@ -31,6 +31,8 @@ def sharded_envelope_blocked(mesh, x: np.ndarray, block: int) -> np.ndarray:
     """ops/am.envelope_blocked over the mesh's `time` axis (host in/out)."""
     ndev = mesh.shape["time"]
     n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
     nfull = n // block
     out = []
     if nfull:

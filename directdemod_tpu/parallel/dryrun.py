@@ -96,7 +96,7 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
                   agc_gain_cap=20.0, costas_bw=0.05235833333 * 6,
                   sync_len=33, minsync_thresh=120.0)
     sync = np.zeros(33, np.float32)
-    xs = jnp.asarray(x[:time * 8192])
+    xs = jnp.asarray(x[:time * chunk_len])
     outs, owned = symbol_scan_segments(p, xs, sync, sync, n_segments=time,
                                        warmup_symbols=8, mesh=mesh)
     n_owned = int(np.sum(np.asarray(owned)))
