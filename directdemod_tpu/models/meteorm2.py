@@ -46,7 +46,7 @@ class MeteorM2Decoder(PskSyncDetector):
         params = PskParams(
             fs=sigsrc.sampFreq, sym_rate=K.METEOR_SYMRATE, qpsk=True,
             agc_mean0=3.0, agc_gain_cap=200.0,
-            costas_bw=0.008727, minsync_thresh=30.0, meteor_gate=True)
+            costas_bw=0.008727, minsync_thresh=30.0)
         s, a1, a2 = _variants()
         cfg = _SyncConfig(
             sym_sync=s.astype(np.float64), sym_sync_alt=a1.astype(np.float64),

@@ -94,6 +94,9 @@ class PskSyncDetector:
         self._consumed = 0        # minsync events fully absorbed
         self._open = None         # open correlation cluster
         self._prev_lm = None      # lastMin before the open cluster
+        self._stale = None        # armed-window buffer left after the arming
+        #                           end passed with no trigger (see
+        #                           _maybe_snapshot_stale)
 
     @property
     def useful(self) -> int:
@@ -232,11 +235,19 @@ class PskSyncDetector:
         while True:
             if self._open is None:
                 if self._consumed >= len(minsyncs):
+                    # arming window may have closed with no trigger this
+                    # chunk: preserve its buffer for a later-cluster replay
+                    self._maybe_snapshot_stale(
+                        None, a_idx, stream, lo, hi, a_cat, ph_cat,
+                        cap_samples)
                     break
                 ctr_t, samp_t = minsyncs[self._consumed]
+                self._maybe_snapshot_stale(
+                    ctr_t, a_idx, stream, lo, hi, a_cat, ph_cat, cap_samples)
                 self._consumed += 1
-                self._open = {"first": samp_t, "last": samp_t,
-                              "last_ctr": ctr_t, "prev_lm": self._prev_lm}
+                self._open = {"first": samp_t, "first_ctr": ctr_t,
+                              "last": samp_t, "last_ctr": ctr_t,
+                              "prev_lm": self._prev_lm}
             # absorb retriggers within the countdown (retain reset,
             # ref decode_funcube.py:294)
             while (self._consumed < len(minsyncs)
@@ -253,52 +264,113 @@ class PskSyncDetector:
                     # correlates this cluster
                     self._prev_lm = self._open["last_ctr"]
                     self._open = None
+                    self._stale = None
                     continue
                 break
-            # window start: pre-trigger sliding buffer begins at the arming
-            # boundary of the *previous* frame's lastMin, capped to the
-            # buffer size (ref decode_funcube.py:240-249)
             prev_lm = self._open["prev_lm"]
-            ws = self._open["first"] + 1
-            if prev_lm is not None:
-                arm_samp = self._sym_sample(a_idx, prev_lm + cfg.arm_pre_syms)
-                if arm_samp is not None and arm_samp + 1 < ws:
-                    ws = max(arm_samp + 1, self._open["first"] + 1 - cap_samples)
-            ws = max(ws, lo)
             we = corr_at
+            past_end = (prev_lm is not None
+                        and self._open["first_ctr"]
+                        > prev_lm + cfg.arm_end_syms)
+            if past_end:
+                # the trigger fired AFTER the arming window closed
+                # (ctr > lastMin + arm_end_syms, ref decode_funcube.py:241's
+                # end clause): the reference's buffer then holds the STALE
+                # tail of the closed armed window plus the fresh countdown
+                # samples after the trigger, and it reports
+                # maxBuffStart + argmax over that discontiguous buffer as if
+                # it were contiguous -- reproduced verbatim.
+                fresh_ws = max(self._open["first"] + 1, lo)
+                vals = self._quantize_window(
+                    stream[fresh_ws - lo: we + 1 - lo], fresh_ws,
+                    a_cat, ph_cat)
+                report_ws = fresh_ws
+                if self._stale is not None:
+                    vals = np.concatenate([self._stale["vals"], vals])
+                    report_ws = self._stale["ws"]
+            else:
+                # window start: pre-trigger sliding buffer begins at the
+                # arming boundary of the *previous* frame's lastMin, capped
+                # to the buffer size (ref decode_funcube.py:240-249)
+                ws = self._open["first"] + 1
+                if prev_lm is not None:
+                    arm_samp = self._sym_sample(
+                        a_idx, prev_lm + cfg.arm_pre_syms)
+                    if arm_samp is not None and arm_samp + 1 < ws:
+                        ws = max(arm_samp + 1,
+                                 self._open["first"] + 1 - cap_samples)
+                ws = max(ws, lo)
+                vals = self._quantize_window(
+                    stream[ws - lo: we + 1 - lo], ws, a_cat, ph_cat)
+                report_ws = ws
             needle_i = 0
             if len(cfg.needles) > 1:
                 pos = np.searchsorted(a_cat, we, side="left") - 1
                 needle_i = int(ch_cat[pos]) if pos >= 0 else 0
-            sync_pos = self._correlate_window(
-                stream[ws - lo: we + 1 - lo], ws, a_cat, ph_cat,
-                cfg.needles[needle_i])
+            sync_pos = self._correlate_vals(vals, report_ws,
+                                            cfg.needles[needle_i])
             max_syncs.append(sync_pos)
             log.info("MAXSYNC %s", sync_pos)
             self._prev_lm = self._open["last_ctr"]
             self._open = None
+            self._stale = None
         return max_syncs
 
-    def _correlate_window(self, seg: np.ndarray, ws: int, a_cat, ph_cat,
-                          needle: np.ndarray) -> float:
-        """Rotate by the PLL phasor, quantize like the reference, correlate."""
+    def _maybe_snapshot_stale(self, next_ctr, a_idx, stream, lo, hi,
+                              a_cat, ph_cat, cap_samples):
+        """Capture the sliding buffer of an armed window that closed with no
+        trigger (ref decode_funcube.py:240-241: buffering stops once
+        ctr > lastMin + arm_end_syms but maxResBuff is only cleared by a
+        correlation, so its last `cap` samples survive until the next
+        trigger). Called with `next_ctr` = the next pending trigger's symbol
+        count (None at chunk end when no trigger is pending)."""
+        cfg = self.cfg
+        if self._stale is not None or self._prev_lm is None:
+            return
+        boundary = self._prev_lm + cfg.arm_end_syms
+        if next_ctr is not None and next_ctr <= boundary:
+            return                      # window got a trigger: no stale buffer
+        end_samp = self._sym_sample(a_idx, boundary)
+        if end_samp is None or end_samp >= hi:
+            return                      # window still open / not streamed yet
+        arm_samp = self._sym_sample(a_idx, self._prev_lm + cfg.arm_pre_syms)
+        ws = end_samp + 1 - cap_samples
+        if arm_samp is not None:
+            ws = max(ws, arm_samp + 1)
+        ws = max(ws, lo)
+        if ws > end_samp:
+            return
+        self._stale = {
+            "ws": ws,
+            "vals": self._quantize_window(
+                stream[ws - lo: end_samp + 1 - lo], ws, a_cat, ph_cat)}
+
+    def _quantize_window(self, seg: np.ndarray, ws: int, a_cat,
+                         ph_cat) -> np.ndarray:
+        """Rotate by the PLL phasor and quantize like the reference
+        (ref decode_funcube.py:243 `lim(real(i*pllObj.output)/2)`)."""
         cfg = self.cfg
         n_arr = ws + np.arange(len(seg))
         ph = self._phase_at(a_cat, ph_cat, n_arr)
         rot = seg * np.exp(-1j * ph)
         if cfg.entries_per_sample == 1:
-            vals = _lim(np.real(rot) / 2.0)
-        else:
-            vals = np.empty(2 * len(seg))
-            vals[0::2] = _lim(np.real(rot) / 2.0)
-            vals[1::2] = _lim(np.imag(rot) / 2.0)
+            return _lim(np.real(rot) / 2.0)
+        vals = np.empty(2 * len(seg))
+        vals[0::2] = _lim(np.real(rot) / 2.0)
+        vals[1::2] = _lim(np.imag(rot) / 2.0)
+        return vals
+
+    def _correlate_vals(self, vals: np.ndarray, report_ws: int,
+                        needle: np.ndarray) -> float:
+        """|correlate('same')| argmax, reported as maxBuffStart + argmax
+        (ref decode_funcube.py:253-255)."""
         cor = np.abs(np.asarray(corr_ops.correlate_same(
             jnp.asarray(vals, jnp.float32),
             jnp.asarray(needle, jnp.float32))))
         am = int(np.argmax(cor))
-        if cfg.entries_per_sample == 1:
-            return float(ws + am)
-        return float(ws + am / 2.0)
+        if self.cfg.entries_per_sample == 1:
+            return float(report_ws + am)
+        return float(report_ws + am / 2.0)
 
     def _finalize(self, max_syncs: list) -> list:
         cfg = self.cfg

@@ -41,9 +41,7 @@ class PskParams:
     agc_gain_cap: float          # gain cap (20 / 200)
     costas_bw: float             # loop bandwidth (0.05235833333*6 / 0.008727)
     costas_damping: float = 0.70710678118
-    sync_len: int = 0            # minsync buffer length (entries)
     minsync_thresh: float = 0.0  # distance trigger (120 / 30)
-    meteor_gate: bool = False    # meteor: gate minsync buffering by lastMin
 
     @property
     def symbol_period(self) -> float:

@@ -94,7 +94,7 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
     # -- 4. segment-parallel PLL scan sharded over `time`
     p = PskParams(fs=FS, sym_rate=12000, qpsk=False, agc_mean0=180.0,
                   agc_gain_cap=20.0, costas_bw=0.05235833333 * 6,
-                  sync_len=33, minsync_thresh=120.0)
+                  minsync_thresh=120.0)
     sync = np.zeros(33, np.float32)
     xs = jnp.asarray(x[:time * chunk_len])
     outs, owned = symbol_scan_segments(p, xs, sync, sync, n_segments=time,

@@ -201,3 +201,118 @@ def test_meteor_segment_parallel_on_mesh():
     # every sequential sync has a parallel counterpart nearby
     for s0 in syncs_seq:
         assert min(abs(s0 - s1) for s1 in syncs_par) < 0.02 * FS
+
+
+# --------------------------------------------------------------- arming window
+# Unit tests of the max-sync replay state machine against a literal
+# simulation of the reference's per-sample buffering loop
+# (ref decode_funcube.py:235-262), including the arming-window END clause
+# (`not ctr > lastMin + 5.2*12000` at ref decode_funcube.py:241): a trigger
+# that fires after the window closed correlates the STALE armed buffer plus
+# the fresh countdown samples, reported as maxBuffStart + argmax.
+
+def _reference_buffer_oracle(vals, sym_samples, trigger_ctrs, needle,
+                             cap, arm_pre, arm_end):
+    """Per-sample replica of ref decode_funcube.py:235-300's buffering/
+    countdown/correlation state machine (identity PLL phase)."""
+    maxResBuff, maxBuffStart, retain, lastMin, ctr = [], 0, -1, None, 0
+    sym_at = {s: j for j, s in enumerate(sym_samples)}
+    syncs = []
+    for n in range(len(vals)):
+        if (lastMin is not None
+                and (ctr > lastMin + arm_pre or retain != -1)
+                and not ctr > lastMin + arm_end):
+            if len(maxResBuff) == 0:
+                maxBuffStart = n
+            maxResBuff.append(vals[n])
+        if retain == -1:
+            if len(maxResBuff) > cap:
+                maxBuffStart += 1
+                maxResBuff.pop(0)
+        elif retain == 0:
+            retain -= 1
+            corr = np.abs(np.correlate(maxResBuff, needle, mode="same"))
+            syncs.append(float(maxBuffStart + np.argmax(corr)))
+            maxResBuff = []
+        else:
+            retain -= 1
+        if n in sym_at:
+            ctr += 1
+            if ctr in trigger_ctrs:
+                lastMin = ctr
+                retain = cap
+    return syncs
+
+
+def _make_replay_detector(needle, cap, arm_pre, arm_end):
+    from directdemod_tpu.models.psk_sync import PskSyncDetector, _SyncConfig
+    det = object.__new__(PskSyncDetector)
+    det.cfg = _SyncConfig(
+        sym_sync=np.zeros(4), sym_sync_alt=np.zeros(4), needles=[needle],
+        entries_per_sample=1, cap_entries=cap, arm_pre_syms=arm_pre,
+        arm_end_syms=arm_end, frame_spacing=1e9, spacing_tol=1.0)
+    det._consumed, det._open, det._prev_lm, det._stale = 0, None, None, None
+    return det
+
+
+def _arming_fixture(trigger_ctrs, n=700, seed=7):
+    rng = np.random.default_rng(seed)
+    needle = (rng.integers(0, 2, 8) * 256 - 128).astype(np.float64)
+    cap, arm_pre, arm_end = 16, 20, 30
+    sym_samples = np.arange(3, n, 4)             # ctr becomes j+1 at sample
+    v = rng.integers(-3, 4, n).astype(np.float64)
+    # plant the needle inside lastMin=41's armed window (samples
+    # a[61]+1 .. a[71], sliding cap keeps the last 16) so argmax can land in
+    # the stale region
+    v[sym_samples[71] - 10: sym_samples[71] - 2] = needle
+    vals = v
+    stream = (2.0 * v).astype(np.complex64)       # _lim(real/2) == v
+    minsyncs = [(c, int(sym_samples[c - 1])) for c in sorted(trigger_ctrs)]
+    a_idx = np.asarray(sym_samples, dtype=np.int64)
+    phases = np.zeros(len(sym_samples))
+    chosens = np.zeros(len(sym_samples), dtype=np.int64)
+    return needle, cap, arm_pre, arm_end, sym_samples, vals, stream, \
+        minsyncs, a_idx, phases, chosens
+
+
+@pytest.mark.parametrize("trigger_ctrs", [
+    {41, 76},     # 2nd trigger PAST the arming end (41 + 30): stale replay
+    {41, 66},     # 2nd trigger inside the armed window: contiguous replay
+    {41, 76, 78},  # past-end trigger with a retrigger inside the countdown
+])
+def test_maxsync_replay_matches_reference_buffer_oracle(trigger_ctrs):
+    (needle, cap, arm_pre, arm_end, sym_samples, vals, stream,
+     minsyncs, a_idx, phases, chosens) = _arming_fixture(trigger_ctrs)
+    want = _reference_buffer_oracle(vals, sym_samples, trigger_ctrs, needle,
+                                    cap, arm_pre, arm_end)
+    det = _make_replay_detector(needle, cap, arm_pre, arm_end)
+    got = det._drain_corr_jobs(minsyncs, [a_idx], [phases], [chosens],
+                               stream, 0, len(stream), [], final=True)
+    assert got == want
+
+
+def test_maxsync_replay_stale_across_chunk_boundary():
+    """Arming window of lastMin=41 closes in chunk 1; the past-end trigger
+    arrives in chunk 2 — the stale buffer must be snapshotted at the chunk
+    boundary before the retained tail slides past it."""
+    trigger_ctrs = {41, 76}
+    (needle, cap, arm_pre, arm_end, sym_samples, vals, stream,
+     minsyncs, a_idx, phases, chosens) = _arming_fixture(trigger_ctrs)
+    want = _reference_buffer_oracle(vals, sym_samples, trigger_ctrs, needle,
+                                    cap, arm_pre, arm_end)
+    det = _make_replay_detector(needle, cap, arm_pre, arm_end)
+    # split right after the arming window closes (sample of ctr boundary 71)
+    split = int(sym_samples[71]) + 5
+    max_win = 2 * cap + 8                       # get_syncs retention policy
+    n_sym1 = int(np.searchsorted(sym_samples, split))
+    ms1 = [m for m in minsyncs if m[0] <= n_sym1]
+    got = det._drain_corr_jobs(ms1, [a_idx[:n_sym1]], [phases[:n_sym1]],
+                               [chosens[:n_sym1]], stream[:split], 0, split,
+                               [], final=False)
+    tail_start = split - min(split, max_win)
+    tail = stream[tail_start:split]
+    stream2 = np.concatenate([tail, stream[split:]])
+    got = det._drain_corr_jobs(minsyncs, [a_idx], [phases], [chosens],
+                               stream2, tail_start, len(stream), got,
+                               final=True)
+    assert got == want
