@@ -29,12 +29,28 @@ def fill_syncs(csync, max_len) -> list:
     """Filter outlier syncs and synthesize missed ones (ref
     decode_noaa.py:467-508): keep pairs spaced within 200 samples of the modal
     spacing, then extend backward from the first valid sync and forward from
-    each anchor."""
+    each anchor.
+
+    Degenerate inputs return best-effort results instead of crashing or
+    hanging like the reference (empty/single lists hit IndexError there;
+    near-duplicate detections make the modal spacing 0 and the forward fill
+    an infinite loop), so a noise capture that slipped past `useful` degrades
+    to the backup-image path rather than a stack trace (the graceful-
+    degradation intent of ref decode_noaa.py:454-456). A "no pair within
+    wiggle of the modal spacing" case cannot occur: the mode is itself an
+    observed pair spacing, so that pair always qualifies."""
+    wiggle = 200
     csync = list(csync)
+    if len(csync) < 2:
+        return sorted(float(c) for c in csync)
     diffs = np.diff(csync)
     vals, counts = np.unique(diffs, return_counts=True)
     mode = vals[np.argmax(counts)]
-    wiggle = 200
+    if mode <= wiggle:
+        # duplicate/near-duplicate detections dominate: a <=wiggle modal
+        # spacing cannot anchor filling (the forward fill would never
+        # advance) -- pass the detections through unmodified
+        return sorted(float(c) for c in csync)
 
     valid: list = []
     for i in range(len(csync) - 1):
@@ -72,7 +88,10 @@ def _resample_lines_batched(am: np.ndarray, spans: list, unit: int):
     by identical length on device. Returns {line_index: (unit, k) ndarray}."""
     groups: dict[int, list] = {}
     for li, (s, e) in enumerate(spans):
-        groups.setdefault(e - s, []).append(li)
+        # degenerate (duplicate/out-of-order) syncs yield empty or reversed
+        # spans; treat them as zero-length lines instead of feeding a
+        # negative resample size downstream
+        groups.setdefault(max(e - s, 0), []).append(li)
     out: dict[int, np.ndarray] = {}
     for ln, members in groups.items():
         k = ln // unit

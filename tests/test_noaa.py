@@ -4,6 +4,7 @@ import pytest
 import jax.numpy as jnp
 
 from directdemod_tpu.io.sources import ArraySource
+from directdemod_tpu.models import apt
 from directdemod_tpu.models.noaa import NoaaDecoder
 from tests.apt_synth import synthesize, FS
 
@@ -75,3 +76,23 @@ def test_accurate_sync(decoded):
     assert np.all(np.abs(np.asarray(dda) - 0.5 * FS) < 300)
     # quality values are normalized correlations
     assert np.all(np.asarray(qa) > 0.3)
+
+
+@pytest.mark.parametrize("csync", [
+    [],                                   # no syncs at all
+    [12345.0],                            # single sync: no spacing estimate
+    [7.0, 7.0, 7.0, 900.0],               # duplicates: modal spacing == 0
+    #   (the reference's forward fill never advances -> infinite loop)
+])
+def test_fill_syncs_degenerate_inputs(csync):
+    """Degenerate sync lists (which crash or hang the reference's __fillSync)
+    must degrade to a best-effort pass-through so the decode falls back to the
+    backup-image path (ref decode_noaa.py:454-456) instead of raising."""
+    out = apt.fill_syncs(csync, max_len=100000)
+    assert out == sorted(csync)
+    # and the image stage consumes the result without raising
+    rng = np.random.default_rng(0)
+    env = rng.random(60000).astype(np.float64)
+    img, ida, idb = apt.assemble_image(
+        env, 4160, out, [c + 1040 for c in out], np.asarray(out))
+    assert img.ndim == 2
