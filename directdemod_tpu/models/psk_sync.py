@@ -159,9 +159,9 @@ class PskSyncDetector:
                 outs, owned = symbol_scan_segments(
                     p, xw, sync_j, sync1_j, self.n_segments,
                     self.warmup_symbols, owned_start=prefix, mesh=self.mesh)
-                ow = np.asarray(owned)
+                ow = hostio.device_get(owned)
                 seg_take = lambda arr: np.concatenate(
-                    [np.asarray(arr)[si][ow[si]]
+                    [hostio.device_get(arr)[si][ow[si]]
                      for si in range(self.n_segments)])
                 ai = seg_take(outs.a_idx) - prefix + s
                 ph = seg_take(outs.phase_out)
@@ -171,11 +171,11 @@ class PskSyncDetector:
             else:
                 scan_state, outs = symbol_scan(p, x, scan_state, sync_j,
                                                sync1_j)
-                valid = np.asarray(outs.valid)
-                ai = np.asarray(outs.a_idx)[valid] + s
-                ph = np.asarray(outs.phase_out)[valid]
-                ch = np.asarray(outs.chosen)[valid]
-                mf = np.asarray(outs.minsync)[valid]
+                valid = hostio.device_get(outs.valid)
+                ai = hostio.device_get(outs.a_idx)[valid] + s
+                ph = hostio.device_get(outs.phase_out)[valid]
+                ch = hostio.device_get(outs.chosen)[valid]
+                mf = hostio.device_get(outs.minsync)[valid]
                 # rebase the carried anchor into the next block's coordinates
                 scan_state = scan_state._replace(
                     anchor=scan_state.anchor - jnp.int32(e - s))

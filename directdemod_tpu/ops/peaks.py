@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils import hostio
+
 log = logging.getLogger(__name__)
 
 # Compacted-candidate cap: a healthy APT sync correlation yields ~2 candidates
@@ -54,10 +56,10 @@ def candidates_above(cor: jnp.ndarray, threshold: jnp.ndarray,
     cap = min(cap, n)
     mask = cor > threshold
     idx = jnp.nonzero(mask, size=cap, fill_value=-1)[0]
-    idx_np = np.asarray(idx)
+    idx_np = hostio.device_get(idx)      # int download: must ride the shim
     idx_np = idx_np[idx_np >= 0]
     if len(idx_np) == cap and cap < n:
-        total = int(jnp.sum(mask))
+        total = int(jnp.sum(mask).astype(jnp.float32))
         if total > cap:
             log.warning(
                 "sync candidate cap bound: %d above-threshold samples, "
@@ -159,7 +161,8 @@ def lookahead_peaks(y, lookahead: int, delta: float = 0.0
     limit = n - lookahead          # reference iterates y[:-lookahead]
     outs = _lookahead_scan(y[:limit], fwd_max[:limit], fwd_min[:limit],
                            jnp.asarray(delta, dtype=y.dtype))
-    f_max, mxpos, mxval, f_min, mnpos, mnval = (np.asarray(o) for o in outs)
+    f_max, mxpos, mxval, f_min, mnpos, mnval = (
+        hostio.device_get(o) for o in outs)   # bool/int outs ride the shim
 
     events = []
     for i in np.flatnonzero(f_max | f_min):

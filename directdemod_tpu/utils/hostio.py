@@ -81,11 +81,36 @@ def device_put_u8(raw: np.ndarray, sharding=None):
     return jax.jit(_u32_to_u8, static_argnums=(1,))(jnp.asarray(words), n)
 
 
+@jax.jit
+def _pack_int(x):
+    """Exact (hi, lo) float32 split: v = hi*4096 + lo with lo in [0, 4096).
+
+    Both parts are integers below 2^24 for any int32, so each is exact in
+    float32; the pair reassembles any |v| < 2^36 losslessly."""
+    hi = jnp.floor_divide(x, 4096).astype(jnp.float32)
+    lo = jnp.remainder(x, 4096).astype(jnp.float32)
+    return hi, lo
+
+
 def device_get(y) -> np.ndarray:
-    """Boundary-safe np.asarray for device arrays (any shape)."""
+    """Boundary-safe np.asarray for device arrays (any shape/dtype).
+
+    The tunnel rejects complex64, integer, and bool DOWNLOADS exactly like it
+    rejects those uploads (measured: np.asarray of an int32 device array
+    raises UNIMPLEMENTED — the round-2 NOAA-e2e failure mode), so every
+    non-float dtype detours through float32 on device."""
     if isinstance(y, np.ndarray):
         return y
-    if _needs_shim() and jnp.iscomplexobj(y):
-        packed = np.asarray(_pack_c64(y))
-        return (packed[0] + 1j * packed[1]).astype(np.complex64)
+    if _needs_shim():
+        if jnp.iscomplexobj(y):
+            packed = np.asarray(_pack_c64(y))
+            return (packed[0] + 1j * packed[1]).astype(np.complex64)
+        if jnp.issubdtype(y.dtype, jnp.bool_):
+            return np.asarray(y.astype(jnp.float32)) != 0.0
+        if jnp.issubdtype(y.dtype, jnp.integer):
+            want = np.dtype(y.dtype)
+            hi, lo = _pack_int(y)
+            out = (np.asarray(hi).astype(np.int64) * 4096
+                   + np.asarray(lo).astype(np.int64))
+            return out.astype(want)
     return np.asarray(y)
