@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""A/B the Pallas fused DDC+FM kernel against the XLA polyphase lowering on
+real TPU hardware: same device, same 20M-sample block, numerics + throughput.
+
+    python examples/bench_pallas_ab.py [--block N] [--iters K]
+
+Prints one JSON line with both throughputs, the ratio, and the max absolute
+audio difference (the two backends compute the identical chain of
+ref decode_noaa.py:623 / decode_fm.py:64-68).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block", type=int, default=20_000_000)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret-mode kernel (CPU smoke test only)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from directdemod_tpu.models.frontend import DdcFm
+    from directdemod_tpu.ops import design
+    from directdemod_tpu.ops.pallas_ddc import ddc_fm_pallas
+
+    dev = jax.devices()[0]
+    fs, off, bw = 2048000, 30000, 60000
+    fe = DdcFm(fs, off, design.blackmanharris(151), bw, fm=True)
+    rng = np.random.default_rng(0)
+    block = args.block
+    x = jnp.asarray((rng.standard_normal(block)
+                     + 1j * rng.standard_normal(block)).astype(np.complex64))
+
+    # ---- XLA polyphase path (the production lowering)
+    state = fe.init_state(jnp.complex64)
+    start = 0
+    for _ in range(3):
+        y_xla, state = fe.process_block(x, state, start)
+        start += block
+    y_xla.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        y_xla, state = fe.process_block(x, state, start)
+        start += block
+    y_xla.block_until_ready()
+    xla_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
+
+    # ---- Pallas kernel on the identical segment/taps/rotation
+    stride = fe.stride
+    out_len = block // stride
+    taps_rev = jnp.asarray(fe.taps_mod[::-1], dtype=jnp.complex64)
+    rot = jnp.asarray(fe.rot, dtype=jnp.complex64)
+    c_prev = jnp.zeros(1, dtype=jnp.complex64)
+
+    run = jax.jit(lambda xx, cp: ddc_fm_pallas(
+        xx, taps_rev, rot, cp, stride, out_len, args.interpret))
+    audio_p, c_last = run(x, c_prev)
+    audio_p.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        audio_p, c_last = run(x, c_last)
+    audio_p.block_until_ready()
+    pallas_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
+
+    # ---- numerics: compiled kernel vs the direct fp64 dot-product reference
+    # on a short segment (the alignment contract of tests/test_pallas.py, here
+    # in COMPILED mode on the real chip rather than interpret mode)
+    from directdemod_tpu.ops.pallas_ddc import TILE
+    out_small = 4 * TILE
+    k = len(fe.taps_mod)
+    xs = np.asarray(rng.standard_normal(out_small * stride + k)
+                    + 1j * rng.standard_normal(out_small * stride + k))
+    w = np.asarray(fe.taps_mod)[::-1]
+    c = np.asarray([np.dot(w, xs[m * stride:m * stride + k])
+                    for m in range(out_small)])
+    prev = np.concatenate([[1.0 + 0j], c[:-1]])
+    ref = np.angle(c * np.conj(prev) * np.asarray(fe.rot))
+    audio_small, _ = ddc_fm_pallas(
+        jnp.asarray(xs, jnp.complex64), taps_rev, rot,
+        jnp.asarray([1.0 + 0j], jnp.complex64), stride, out_small,
+        args.interpret)
+    maxdiff = float(np.max(np.abs(np.asarray(audio_small) - ref)))
+
+    print(json.dumps({
+        "metric": "pallas_vs_xla_ddc_fm",
+        "unit": "Msamples/s/chip",
+        "device": dev.device_kind,
+        "block": block,
+        "xla_msamples_per_s": round(xla_msps, 1),
+        "pallas_msamples_per_s": round(pallas_msps, 1),
+        "pallas_over_xla": round(pallas_msps / xla_msps, 3),
+        "max_abs_audio_diff_steady": maxdiff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
