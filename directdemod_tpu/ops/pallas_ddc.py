@@ -129,3 +129,130 @@ def ddc_fm_pallas(x, taps_rev, rot, c_prev, stride: int, out_len: int,
     audio = out.reshape(-1)[:out_len]
     c_last = (carry[0, 0] + 1j * carry[0, 1]).reshape(1).astype(x.dtype)
     return audio, c_last
+
+
+# ----------------------------------------------------------- raw-uint8 variant
+
+def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
+               out_ref, carry_ref):
+    """Fused unpack + DDC + FM from RAW interleaved uint8 bytes.
+
+    b0/b1: (TILE, 2J) byte blocks t and t+1 (halo rows); u: (q, 2J, 2)
+    interleaved taps; off/rot/cprev: (1, 2); out: (TILE, 1);
+    carry: (1, 2) revisited across the sequential grid.
+
+    Output row m of tile t is c[M] = sum_n w[n] (x[M*J+n] - 127.5(1+1j))
+    with M = t*TILE + m. On the interleaved byte rows this is
+
+        c = sum_qq  B[qq + m, :] @ U[qq] - 127.5 * sum(U)
+
+    where U[qq, 2k+0, :] = (Re w, Im w)[qq*J*... ] and U[qq, 2k+1, :] =
+    (-Im w, Re w)... -- built host-side in ddc_fm_pallas_u8. The byte->f32
+    convert happens in VMEM (VPU), so HBM traffic is 2 bytes/sample instead
+    of the 8 of a complex64 read (plus the lane-transpose copies of the
+    complex kernel): the chain becomes ingest-roofline-bound.
+    """
+    t = pl.program_id(0)
+    q = u_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[0, 0] = cprev_ref[0, 0]
+        carry_ref[0, 1] = cprev_ref[0, 1]
+
+    b = jnp.concatenate([b0_ref[:, :], b1_ref[:, :]], axis=0) \
+        .astype(jnp.float32)                       # (2*TILE, 2J)
+
+    c = jnp.zeros((TILE, 2), dtype=jnp.float32)
+    for qq in range(q):
+        c = c + jnp.dot(b[qq:qq + TILE, :], u_ref[qq],
+                        preferred_element_type=jnp.float32)
+    cr = c[:, 0:1] - off_ref[0, 0]                  # (TILE, 1)
+    ci = c[:, 1:2] - off_ref[0, 1]
+
+    prev_r = jnp.concatenate([carry_ref[0:1, 0:1], cr[:TILE - 1, :]], axis=0)
+    prev_i = jnp.concatenate([carry_ref[0:1, 1:2], ci[:TILE - 1, :]], axis=0)
+
+    pr = cr * prev_r + ci * prev_i
+    pi = ci * prev_r - cr * prev_i
+    rr = rot_ref[0, 0]
+    ri = rot_ref[0, 1]
+    out_ref[:, 0] = jnp.arctan2(pr * ri + pi * rr, pr * rr - pi * ri)[:, 0]
+
+    carry_ref[0, 0] = cr[TILE - 1, 0]
+    carry_ref[0, 1] = ci[TILE - 1, 0]
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def ddc_fm_pallas_u8(raw, taps_rev, rot, c_prev, stride: int, out_len: int,
+                     interpret: bool = False):
+    """Fused unpack+DDC+FM from raw interleaved uint8 (the byte contract of
+    ref source.py:117-118): output m covers complex samples
+    x[m*J .. m*J+K-1], i.e. bytes raw[2*m*J .. 2*(m*J+K)-1].
+
+    raw: uint8 (n,) with n >= 2*(out_len*J + K); taps_rev: complex (K,)
+    reversed modulated taps; rot: complex scalar; c_prev: complex (1,).
+    Returns (audio (out_len,) f32, c_last (1,) c64).
+    """
+    j = stride
+    k = taps_rev.shape[0]
+    q = -(-k // j)
+    n_tiles = -(-out_len // TILE)
+
+    # the halo block covers every in-block shift: the deepest access is row
+    # (n_tiles-1)*TILE + (TILE-1) + (q-1) < (n_tiles+1)*TILE for q <= TILE
+    rows = (n_tiles + 1) * TILE
+    need = rows * 2 * j
+    rp = jnp.pad(raw, (0, max(0, need - raw.shape[0])))[:need]
+    b = rp.reshape(rows, 2 * j)              # free reshape: NO transpose
+
+    # interleaved taps: row 2i (I byte) contributes (Re w_n, Im w_n),
+    # row 2i+1 (Q byte) contributes (-Im w_n, Re w_n), n = qq*J + i
+    wpad = jnp.pad(taps_rev, (0, q * j - k))
+    w2 = wpad.reshape(q, j)
+    u = jnp.stack([
+        jnp.stack([jnp.real(w2), jnp.imag(w2)], axis=-1),      # even bytes
+        jnp.stack([-jnp.imag(w2), jnp.real(w2)], axis=-1),     # odd bytes
+    ], axis=2).reshape(q, 2 * j, 2).astype(jnp.float32)
+    # constant offset: 127.5 * (sum Re w - sum Im w, sum Im w + sum Re w)
+    sr = jnp.sum(jnp.real(wpad))
+    si = jnp.sum(jnp.imag(wpad))
+    off = (127.5 * jnp.stack([sr - si, si + sr])).reshape(1, 2) \
+        .astype(jnp.float32)
+    rot2 = jnp.stack([jnp.real(rot), jnp.imag(rot)]).reshape(1, 2) \
+        .astype(jnp.float32)
+    cp2 = jnp.stack([jnp.real(c_prev[0]), jnp.imag(c_prev[0])]) \
+        .reshape(1, 2).astype(jnp.float32)
+
+    out, carry = pl.pallas_call(
+        _kernel_u8,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 2 * j), lambda t: (t, 0)),
+            pl.BlockSpec((TILE, 2 * j), lambda t: (t + 1, 0)),
+            pl.BlockSpec((q, 2 * j, 2), lambda t: (0, 0, 0)),
+            pl.BlockSpec((1, 2), lambda t: (0, 0)),
+            pl.BlockSpec((1, 2), lambda t: (0, 0)),
+            pl.BlockSpec((1, 2), lambda t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, 1), lambda t: (t, 0)),
+            pl.BlockSpec((1, 2), lambda t: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TILE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(b, b, u, off, rot2, cp2)
+    audio = out.reshape(-1)[:out_len]
+    # streaming carry = conv output at the last KEPT index. The in-kernel
+    # carry sits at the tile grid's final row (n_tiles*TILE - 1), which is
+    # past out_len whenever out_len is not a TILE multiple, so recompute it
+    # with one K-length dot (negligible next to the main pass).
+    del carry
+    seg = jax.lax.dynamic_slice(
+        rp, (2 * (out_len - 1) * j,), (2 * k,)).astype(jnp.float32) - 127.5
+    xb = jax.lax.complex(seg[0::2], seg[1::2])
+    c_last = jnp.dot(taps_rev.astype(jnp.complex64), xb).reshape(1)
+    return audio, c_last

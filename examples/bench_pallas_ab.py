@@ -31,7 +31,7 @@ def main():
     import jax.numpy as jnp
     from directdemod_tpu.models.frontend import DdcFm
     from directdemod_tpu.ops import design
-    from directdemod_tpu.ops.pallas_ddc import ddc_fm_pallas
+    from directdemod_tpu.ops.pallas_ddc import ddc_fm_pallas, ddc_fm_pallas_u8
 
     dev = jax.devices()[0]
     fs, off, bw = 2048000, 30000, 60000
@@ -72,6 +72,18 @@ def main():
     audio_p.block_until_ready()
     pallas_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
 
+    # ---- raw-uint8 fused kernel: unpack+DDC+FM reading 2 B/sample from HBM
+    raw = jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
+    run_u8 = jax.jit(lambda rr, cp: ddc_fm_pallas_u8(
+        rr, taps_rev, rot, cp, stride, out_len, args.interpret))
+    audio_u, c_u = run_u8(raw, c_prev)
+    audio_u.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        audio_u, c_u = run_u8(raw, c_u)
+    audio_u.block_until_ready()
+    u8_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
+
     # ---- numerics: compiled kernel vs the direct fp64 dot-product reference
     # on a short segment (the alignment contract of tests/test_pallas.py, here
     # in COMPILED mode on the real chip rather than interpret mode)
@@ -99,6 +111,8 @@ def main():
         "xla_msamples_per_s": round(xla_msps, 1),
         "pallas_msamples_per_s": round(pallas_msps, 1),
         "pallas_over_xla": round(pallas_msps / xla_msps, 3),
+        "pallas_u8_msamples_per_s": round(u8_msps, 1),
+        "pallas_u8_over_xla": round(u8_msps / xla_msps, 3),
         "max_abs_audio_diff_steady": maxdiff,
     }))
 

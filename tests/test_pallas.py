@@ -32,3 +32,34 @@ def test_pallas_ddc_matches_frontend(rng):
     err = np.max(np.abs(audio - ref))
     assert err < 2e-4, err            # fp32 kernel vs fp64 reference
     assert abs(complex(np.asarray(c_last)[0]) - c[-1]) < 1e-2
+
+
+def test_pallas_ddc_u8_matches_frontend(rng):
+    """Raw-uint8 fused kernel (unpack+DDC+FM in one pass) vs the fp64
+    dot-product reference on the byte contract of ref source.py:117-118."""
+    from directdemod_tpu.ops.pallas_ddc import ddc_fm_pallas_u8
+
+    fs, freq, bw = 2048000, 30000, 60000
+    fe = DdcFm(fs, freq, design.blackmanharris(151), bw, fm=True)
+    j, k = fe.stride, len(fe.taps)
+    out_len = 3 * TILE + 17                   # exercise the ragged tail
+    n = out_len * j + k
+    raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    x = (raw[0::2].astype(np.float64) - 127.5) \
+        + 1j * (raw[1::2].astype(np.float64) - 127.5)
+
+    w = np.asarray(fe.taps_mod)[::-1]
+    c = np.asarray([np.dot(w, x[m * j:m * j + k]) for m in range(out_len)])
+    c_prev = np.asarray([1.0 + 0j])
+    prev = np.concatenate([c_prev, c[:-1]])
+    ref = np.angle(c * np.conj(prev) * fe.rot)
+
+    audio, c_last = ddc_fm_pallas_u8(
+        jnp.asarray(raw), jnp.asarray(w, jnp.complex64),
+        jnp.asarray(fe.rot, jnp.complex64), jnp.asarray(c_prev, jnp.complex64),
+        j, out_len, True)
+    audio = np.asarray(audio)
+    assert audio.shape == (out_len,)
+    err = np.max(np.abs(audio - ref))
+    assert err < 5e-4, err                    # fp32 kernel vs fp64 reference
+    assert abs(complex(np.asarray(c_last)[0]) - c[-1]) < 1e-1
