@@ -111,15 +111,59 @@ class DdcFm:
         return y, (hist2, c_last)
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
-                dtype=jnp.complex64, raw: bool | str = "auto"):
+                dtype=jnp.complex64, raw: bool | str = "auto",
+                backend: str = "xla", pallas_interpret: bool = False):
         """Full chunked run with a double-buffered host feed; returns
         (output ndarray, out_rate). `raw='auto'` feeds raw uint8 bytes and
-        unpacks on device when the source supports it (4x less link traffic)."""
+        unpacks on device when the source supports it (4x less link traffic).
+
+        `backend='pallas_u8'` runs the fused unpack+DDC+FM Pallas kernel
+        (ops/pallas_ddc.ddc_fm_pallas_u8) on raw-byte blocks: 2 B/sample of
+        HBM read instead of the XLA path's complex64 intermediates. The
+        first block goes through the XLA step regardless (its all-ones
+        warmup history is not byte-representable); later blocks carry the
+        previous block's tail BYTES as the conv history. Requires fm=True
+        and a raw-capable source; silently falls back to XLA otherwise."""
         from ..io.feeder import BlockFeeder
         state = self.init_state(dtype)
         outs = []
+        use_pallas = backend == "pallas_u8" and self.fm
+        raw_hist = None              # device u8 tail, 2*(K-1) bytes
+        k = len(self.taps_mod)
         with BlockFeeder(source, block_size, dtype=dtype, raw=raw) as feeder:
             for (s, e, x) in feeder:
-                y, state = self.process_block(x, state, s)
+                if use_pallas and x.dtype == jnp.uint8 and s > 0 \
+                        and raw_hist is not None:
+                    n = int(x.shape[0]) // 2
+                    off = rs.decim_phase(s, self.stride)
+                    out_len = rs.decim_count(n, off, self.stride)
+                    y, c_last = _pallas_u8_block(
+                        jnp.concatenate([raw_hist, x]),
+                        jnp.asarray(self.taps_mod[::-1], jnp.complex64),
+                        jnp.asarray(self.rot, jnp.complex64),
+                        state[1].astype(jnp.complex64), jnp.int32(off),
+                        self.stride, out_len, pallas_interpret)
+                    state = (state[0], c_last.astype(dtype))
+                else:
+                    y, state = self.process_block(x, state, s)
+                if use_pallas and x.dtype == jnp.uint8:
+                    raw_hist = x[-2 * (k - 1):]
                 outs.append(hostio.device_get(y))
         return np.concatenate(outs), self.out_rate
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _pallas_u8_block(raw_cat, taps_rev, rot, c_prev, off, stride: int,
+                     out_len: int, interpret: bool):
+    """One steady-state block through the fused u8 kernel.
+
+    raw_cat = [previous tail bytes (2*(K-1)) | block bytes]; the kept output
+    m covers sample off + m*stride of that concatenation -- the same window
+    alignment as ops/fir.fir_decimate's `seg`."""
+    from ..ops.pallas_ddc import ddc_fm_pallas_u8
+    k = taps_rev.shape[0]
+    need = 2 * ((out_len - 1) * stride + k)
+    seg = jax.lax.dynamic_slice(
+        jnp.pad(raw_cat, (0, 2 * stride)), (2 * off,), (need,))
+    return ddc_fm_pallas_u8(seg, taps_rev, rot, c_prev, stride, out_len,
+                            interpret)

@@ -63,3 +63,25 @@ def test_pallas_ddc_u8_matches_frontend(rng):
     err = np.max(np.abs(audio - ref))
     assert err < 5e-4, err                    # fp32 kernel vs fp64 reference
     assert abs(complex(np.asarray(c_last)[0]) - c[-1]) < 1e-1
+
+
+def test_pallas_u8_backend_matches_xla_stream(tmp_path, rng):
+    """Production DdcFm.process with backend='pallas_u8' vs the XLA path on a
+    multi-block raw .dat stream (chunk-boundary byte-history carry included).
+    Angle outputs are fp32 in both; tolerance is distributional because the
+    polar discriminator amplifies rounding where |c| is tiny."""
+    from directdemod_tpu.io.sources import IQDat
+
+    n = 700_000
+    raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    p = tmp_path / "c.dat"
+    raw.tofile(p)
+    src = IQDat(str(p), 2048000)
+    fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
+    a1, r1 = fe.process(src, block_size=200_000)
+    a2, r2 = fe.process(src, block_size=200_000, backend="pallas_u8",
+                        pallas_interpret=True)
+    assert r1 == r2 and len(a1) == len(a2)
+    d = np.abs(a1 - a2)
+    assert np.percentile(d, 99.9) < 1e-4
+    assert d.max() < 2e-2
