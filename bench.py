@@ -10,11 +10,30 @@ same chain timed on this same host (`vs_baseline` = ours / reference).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
+import contextlib
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def watchdog(seconds: int, what: str):
+    """Raise TimeoutError if the block runs too long — the tunnel's remote
+    compile service can wedge indefinitely, and a hang here would stall the
+    whole bench run (the driver runs this file uninterruptibly at round end).
+    SIGALRM-based: main thread only, which is where bench runs."""
+    def _fire(signum, frame):
+        raise TimeoutError(f"{what} exceeded {seconds}s (tunnel wedged?)")
+    old = signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _reference_chain_msamps(n: int = 2_000_000) -> float:
@@ -102,7 +121,8 @@ def main() -> int:
     value = device = None
     for attempt in range(3):           # the dev tunnel wedges transiently
         try:
-            value, device = _tpu_chain_msamps()
+            with watchdog(900, "device chain bench"):
+                value, device = _tpu_chain_msamps()
             break
         except Exception as e:
             last_err = e
@@ -117,7 +137,8 @@ def main() -> int:
     except Exception:
         ref = float("nan")
     try:
-        feed = _feed_chain_msamps()
+        with watchdog(900, "feed-inclusive bench"):
+            feed = _feed_chain_msamps()
     except Exception as e:
         feed = None
         feed_err = f"{type(e).__name__}: {e}"
