@@ -155,7 +155,9 @@ def main() -> int:
         # single-core NumPy/SciPy chain timed on this same host
         "reference_msamples_per_s_same_host_1core_scipy": (
             round(ref, 1) if ref == ref else None),
-        "realtime_factor_at_2048ksps": round(value / 2.048, 1),
+        # front-end chain only — NOT the full NOAA decode (that claim's only
+        # legitimate source is the noaa_e2e artifact's realtime_factor)
+        "frontend_realtime_factor_at_2048ksps": round(value / 2.048, 1),
     }
     if feed is None:
         out["feed_error"] = feed_err
