@@ -29,8 +29,8 @@ def _needs_shim() -> bool:
 
 
 @jax.jit
-def _combine_f32(v):
-    return lax.complex(v[..., 0::2], v[..., 1::2])
+def _combine_planes(re, im):
+    return lax.complex(re, im)
 
 
 @jax.jit
@@ -39,17 +39,26 @@ def _pack_c64(c):
 
 
 def device_put(x: np.ndarray, dtype=None, sharding=None):
-    """Boundary-safe jnp.asarray for 1-D arrays (complex or real)."""
+    """Boundary-safe jnp.asarray for arrays of any shape (complex or real).
+
+    The complex path uploads two *contiguous* float32 planes (real, imag)
+    and combines them in a jitted `lax.complex` on device. An earlier
+    formulation uploaded one interleaved f32 view and deinterleaved with a
+    stride-2 slice; on the tunnel that poisoned the session — every
+    subsequent device->host transfer (even plain float32) then raised
+    UNIMPLEMENTED. Plane-wise uploads avoid the strided gather entirely
+    (diagnosed by bisection round 3; see STATUS.md)."""
     x = np.asarray(x)
     want = jnp.dtype(dtype) if dtype is not None else x.dtype
     if _needs_shim() and np.issubdtype(want, np.complexfloating):
         xc = x.astype(np.complex64) if x.dtype != np.complex64 else x
-        v = np.ascontiguousarray(xc).view(np.float32)
+        re = np.ascontiguousarray(xc.real)
+        im = np.ascontiguousarray(xc.imag)
         if sharding is not None:
-            vd = jax.device_put(v, sharding)
-            return jax.jit(_combine_f32.__wrapped__,
-                           out_shardings=sharding)(vd)
-        return _combine_f32(jnp.asarray(v))
+            red = jax.device_put(re, sharding)
+            imd = jax.device_put(im, sharding)
+            return jax.jit(lax.complex, out_shardings=sharding)(red, imd)
+        return _combine_planes(jnp.asarray(re), jnp.asarray(im))
     arr = jnp.asarray(x, dtype=dtype)
     return jax.device_put(arr, sharding) if sharding is not None else arr
 
