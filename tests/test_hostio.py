@@ -53,3 +53,33 @@ def test_device_get_bool_shim(shimmed, rng):
 def test_device_get_float_passthrough(shimmed, rng):
     x = rng.standard_normal(100).astype(np.float32)
     assert np.array_equal(hostio.device_get(jnp.asarray(x)), x)
+
+
+def test_device_put_complex_2d_shim(shimmed, rng):
+    """The planar upload must preserve arbitrary shapes (the accurate-sync
+    window batches are 2-D)."""
+    x = (rng.standard_normal((7, 129))
+         + 1j * rng.standard_normal((7, 129))).astype(np.complex64)
+    d = hostio.device_put(x, dtype=jnp.complex64)
+    assert d.shape == x.shape and np.array_equal(np.asarray(d), x)
+
+
+def test_device_put_complex128_coerces(shimmed, rng):
+    x = (rng.standard_normal(64) + 1j * rng.standard_normal(64))
+    d = hostio.device_put(x, dtype=jnp.complex64)
+    assert np.allclose(np.asarray(d), x.astype(np.complex64))
+
+
+def test_device_put_complex_sharded(shimmed, rng):
+    """Plane-wise upload with a mesh sharding: both planes carry the spec and
+    the combined complex array lands with the requested sharding."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from directdemod_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(time=len(jax.devices()))
+    x = (rng.standard_normal((8, 32))
+         + 1j * rng.standard_normal((8, 32))).astype(np.complex64)
+    sh = NamedSharding(mesh, P("time", None))
+    d = hostio.device_put(x, dtype=jnp.complex64, sharding=sh)
+    assert np.array_equal(np.asarray(d), x)
+    assert d.sharding.is_equivalent_to(sh, x.ndim)
