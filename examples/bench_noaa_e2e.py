@@ -60,10 +60,8 @@ def worker(iq_path: str) -> None:
         return useful, img, dec
 
     t0 = time.perf_counter()
-    src.limit(0, 4 * fs)                   # compile warm-up on a short slice
-    decode()
-    src.limit()
-    warm = time.perf_counter() - t0
+    decode()                 # full-capture warm-up: compiles every jit shape
+    warm = time.perf_counter() - t0   # the timed run below hits them warm
 
     t0 = time.perf_counter()
     useful, img, dec = decode()
