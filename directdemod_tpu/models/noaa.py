@@ -171,8 +171,19 @@ class NoaaDecoder:
                         corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True),
                         rate, K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
                 else:
-                    self._sync_a, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCA)
-                    self._sync_b, _ = self._correlate_and_find(env, rate, K.NOAA_SYNCB)
+                    # fused A+B pass: one haystack FFT + one energy term
+                    # serve both needles (ops/correlate.norm_correlate_multi)
+                    na = corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
+                    nb = corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True)
+                    cors = corr_ops.norm_correlate_multi(
+                        jnp.asarray(env, dtype=jnp.float32),
+                        jnp.asarray(np.stack([na, nb]), dtype=jnp.float32))
+                    self._sync_a = peaks.find_sync_peaks(
+                        cors[0], rate, len(na),
+                        K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+                    self._sync_b = peaks.find_sync_peaks(
+                        cors[1], rate, len(nb),
+                        K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
             self._useful = self._usefulness()
         return [self._sync_a, self._sync_b]
 

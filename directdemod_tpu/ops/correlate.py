@@ -64,6 +64,31 @@ def norm_correlate(haystack: jnp.ndarray, needle: jnp.ndarray) -> jnp.ndarray:
     return cor / jnp.sqrt(sums * jnp.sum(needle * needle))
 
 
+def norm_correlate_multi(haystack: jnp.ndarray,
+                         needles: jnp.ndarray) -> jnp.ndarray:
+    """`norm_correlate` against a (k, L) stack of equal-length real needles,
+    sharing one haystack FFT and one moving-energy pass across all k.
+
+    The NOAA crude sync correlates the same envelope against the A and B
+    trains (ref decode_noaa.py:786-790); separately that costs two haystack
+    FFTs and two identical energy convolutions — fused, the haystack spectrum
+    and the energy term are computed once (the energy window depends only on
+    the needle *length*, equal for A and B). Returns (k, n)."""
+    if jnp.iscomplexobj(haystack) or jnp.iscomplexobj(needles):
+        raise ValueError("norm_correlate_multi is real-only")
+    k_len = needles.shape[-1]
+    n = haystack.shape[-1] + k_len - 1
+    m = _fft_len(n)
+    X = jnp.fft.rfft(haystack, n=m)
+    W = jnp.fft.rfft(needles[..., ::-1], n=m)
+    full = jnp.fft.irfft(X[None, :] * W, n=m)[..., :n]
+    start = (k_len - 1) // 2
+    cor = full[..., start:start + haystack.shape[-1]]
+    sums = moving_energy(haystack, k_len)
+    energy = jnp.sum(needles * needles, axis=-1, keepdims=True)
+    return cor / jnp.sqrt(sums[None, :] * energy)
+
+
 def apt_needle(sync_bits, samp_rate: float, t_bit: float,
                positive: bool = True) -> np.ndarray:
     """Build the APT sync needle at `samp_rate` (ref decode_noaa.py:690-694):

@@ -152,6 +152,18 @@ class TestCorrelate:
         ours = np.array(C.norm_correlate(jnp.array(x), jnp.array(needle)))
         assert np.max(np.abs(ref - ours)) < 1e-10
 
+    def test_norm_correlate_multi_matches_single(self, rng):
+        """The fused A+B pass must equal two independent norm_correlate
+        calls (it shares the haystack FFT and the energy term)."""
+        x = rng.standard_normal(5000)
+        na = C.apt_needle(K.NOAA_SYNCA, 60235, K.NOAA_T, True)
+        nb = C.apt_needle(K.NOAA_SYNCB, 60235, K.NOAA_T, True)
+        fused = np.array(C.norm_correlate_multi(
+            jnp.array(x), jnp.array(np.stack([na, nb]))))
+        for row, needle in zip(fused, (na, nb)):
+            single = np.array(C.norm_correlate(jnp.array(x), jnp.array(needle)))
+            assert np.max(np.abs(row - single)) < 1e-10
+
 
 class TestNco:
     def test_long_stream_phase(self, rng):
