@@ -33,6 +33,11 @@ def main():
     mesh = []
     if "--mesh" in sys.argv:
         mesh = [f"--mesh={sys.argv[sys.argv.index('--mesh') + 1]}"]
+    if "--cpu" in sys.argv:
+        # run on host CPU: functional checks shouldn't grab a shared TPU
+        # (env vars alone don't override the accelerator plugin)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from apt_synth import synthesize, FS
     from test_afsk1200 import make_ax25_frame, stuff_bits, afsk_modulate
