@@ -96,8 +96,10 @@ def _tpu_chain_msamps(block: int = 20_000_000, iters: int = 10) -> tuple[float, 
     dev = jax.devices()[0]
     fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.standard_normal(block)
-                     + 1j * rng.standard_normal(block)).astype(np.complex64))
+    from directdemod_tpu.utils import hostio
+    x = hostio.device_put((rng.standard_normal(block)
+                           + 1j * rng.standard_normal(block))
+                          .astype(np.complex64))
     state = fe.init_state(jnp.complex64)
 
     # warm up every (off -> out_len, first) jit variant the steady stream hits

@@ -89,7 +89,7 @@ class DdcFm:
     # ---------------------------------------------------------------- chunk loop
     def init_state(self, dtype=jnp.complex64):
         hist = hostio.device_put(self.hist0, dtype=dtype)
-        return hist, jnp.zeros((1,), dtype=dtype)
+        return hist, hostio.zeros((1,), dtype)
 
     def block_out_len(self, start: int, n: int) -> int:
         off = rs.decim_phase(start, self.stride)
@@ -139,8 +139,9 @@ class DdcFm:
                     out_len = rs.decim_count(n, off, self.stride)
                     y, c_last = _pallas_u8_block(
                         jnp.concatenate([raw_hist, x]),
-                        jnp.asarray(self.taps_mod[::-1], jnp.complex64),
-                        jnp.asarray(self.rot, jnp.complex64),
+                        hostio.device_put(self.taps_mod[::-1],
+                                          dtype=jnp.complex64),
+                        hostio.device_put(self.rot, dtype=jnp.complex64),
                         state[1].astype(jnp.complex64), jnp.int32(off),
                         self.stride, out_len, pallas_interpret)
                     state = (state[0], c_last.astype(dtype))

@@ -73,8 +73,8 @@ class MultiDdcFm:
                     self.rots, dtype=dt,
                     sharding=NamedSharding(self.mesh, P("channel")))
             else:
-                tm = jnp.asarray(self.taps_mod, dtype=dt)
-                rot = jnp.asarray(self.rots, dtype=dt)
+                tm = hostio.device_put(self.taps_mod, dtype=dt)
+                rot = hostio.device_put(self.rots, dtype=dt)
             cache[key] = (tm, rot)
         return cache[key]
 
@@ -112,7 +112,7 @@ class MultiDdcFm:
     def init_state(self, dtype=jnp.complex64):
         sh = self._chan_sharding if self.mesh is not None else None
         hist = hostio.device_put(self.hist0, dtype=dtype, sharding=sh)
-        c0 = jnp.zeros((len(self.fes), 1), dtype=dtype)
+        c0 = hostio.zeros((len(self.fes), 1), dtype)
         if sh is not None:
             c0 = jax.device_put(c0, sh)
         return (hist, c0)

@@ -27,6 +27,8 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils import hostio
+
 
 def is_5smooth(n: int) -> bool:
     for p in (2, 3, 5):
@@ -105,8 +107,11 @@ def fft_any(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
         y = jnp.fft.fft(x, axis=-1)
     else:
         A, Bf, m = _bluestein_consts(n)
-        Aj = jnp.asarray(A, dtype=cdt)
-        Bj = jnp.asarray(Bf, dtype=cdt)
+        # chirp constants cross host->device: complex-safe put (an eager
+        # jnp.asarray of a host complex array poisons the tunnel session;
+        # under a jit trace device_put degrades to an embedded constant)
+        Aj = hostio.device_put(A, dtype=cdt)
+        Bj = hostio.device_put(Bf, dtype=cdt)
         a = jnp.fft.fft(x * Aj, n=m, axis=-1)
         c = jnp.fft.ifft(a * Bj, axis=-1)[..., n - 1: 2 * n - 1]
         y = Aj * c

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils import hostio
+
 
 def _rconv_direct(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """Degenerate (1,1,N) conv -- fine for small N, catastrophically padded by
@@ -184,12 +186,12 @@ def fir_zero_phase(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     head = 2 * x[0] - x[1:padlen + 1][::-1]
     tail = 2 * x[-1] - x[-padlen - 1:-1][::-1]
     ext = jnp.concatenate([head, x, tail])
-    # forward, history = constant ext[0]
-    h0 = jnp.full((k - 1,), 1.0, dtype=x.dtype) * ext[0]
+    # forward, history = constant ext[0] (complex-safe ones: hostio.ones)
+    h0 = hostio.ones((k - 1,), x.dtype) * ext[0]
     yf, _ = fir_apply(ext, t, h0)
     # backward on the reversed forward output
     yr = yf[::-1]
-    h1 = jnp.full((k - 1,), 1.0, dtype=x.dtype) * yr[0]
+    h1 = hostio.ones((k - 1,), x.dtype) * yr[0]
     yb, _ = fir_apply(yr, t, h1)
     y = yb[::-1]
     return y[padlen:padlen + n]
@@ -197,7 +199,7 @@ def fir_zero_phase(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
 
 def ones_history(ntaps: int, dtype) -> jnp.ndarray:
     """First-block FIR history reproducing the reference's lfilter_zi seed."""
-    return jnp.ones((ntaps - 1,), dtype=dtype)
+    return hostio.ones((ntaps - 1,), dtype)
 
 
 def convolve_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -30,6 +30,8 @@ from functools import lru_cache, partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..utils import hostio
 from jax import lax
 
 from . import design
@@ -135,10 +137,10 @@ class IirFilter:
         for s in self.sos:
             states.append(_biquad_zi_step(s) * gain_in)
             gain_in *= _dc_gain(s)
-        return jnp.asarray(np.concatenate(states), dtype=dtype)
+        return hostio.device_put(np.concatenate(states), dtype=dtype)
 
     def initial_state_zero(self, dtype=jnp.float32) -> jnp.ndarray:
-        return jnp.zeros((2 * self.n_sections,), dtype=dtype)
+        return hostio.zeros((2 * self.n_sections,), dtype)
 
     @lru_cache(maxsize=64)
     def _consts(self, L: int):

@@ -14,9 +14,18 @@ error at ~1e-4 rad regardless of stream position.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 SUBBLOCK = 8192
+
+
+@jax.jit
+def _osc_apply(x, ph):
+    """x * exp(j*ph), with the complex literal inside jit: an eager `1j * ph`
+    ships a complex scalar over the tunnel link (session poison, see
+    utils/hostio); under jit the constant is baked into the executable."""
+    return x * jnp.exp(1j * ph).astype(x.dtype)
 
 
 def phase_anchors(freq: float, fs: float, start: int, n: int,
@@ -38,9 +47,8 @@ def mix(x: jnp.ndarray, omega: float, anchors: jnp.ndarray,
     n = x.shape[0]
     dt = anchors.dtype
     ramp = jnp.asarray(omega, dtype=dt) * jnp.arange(sub, dtype=dt)
-    ph = anchors[:, None] + ramp[None, :]
-    osc = jnp.exp(1j * ph).reshape(-1)[:n]
-    return x * osc.astype(x.dtype)
+    ph = (anchors[:, None] + ramp[None, :]).reshape(-1)[:n]
+    return _osc_apply(x, ph)
 
 
 def mix_array_freq(x: jnp.ndarray, freqs: np.ndarray, fs: float,
@@ -69,5 +77,4 @@ def mix_array_freq(x: jnp.ndarray, freqs: np.ndarray, fs: float,
     ramp = omega * jnp.arange(SUBBLOCK, dtype=jnp.float32)
     ph_base = (anchors[:, None] + ramp[None, :]).reshape(-1)[:n]
     ph_delta = (-2.0 * np.pi / fs) * delta * (idx_local + jnp.float32(start))
-    osc = jnp.exp(1j * (ph_base + ph_delta)).astype(x.dtype)
-    return x * osc
+    return _osc_apply(x, ph_base + ph_delta)

@@ -55,18 +55,26 @@ def candidates_above(cor: jnp.ndarray, threshold: jnp.ndarray,
     n = cor.shape[0]
     cap = min(cap, n)
     mask = cor > threshold
-    idx = jnp.nonzero(mask, size=cap, fill_value=-1)[0]
+    # count first (one scalar down), then compact to the next power of two
+    # >= count: a healthy capture downloads ~64 candidates, not the full cap
+    # buffer (2^18 entries, megabytes over the tunnel link)
+    total = int(hostio.device_get(jnp.sum(mask.astype(jnp.int32))))
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    if total > cap:
+        log.warning(
+            "sync candidate cap bound: %d above-threshold samples, "
+            "keeping the first %d — threshold likely collapsed "
+            "(noise-only capture?)", total, cap)
+    size = min(cap, 1 << (min(total, cap) - 1).bit_length())
+    idx = jnp.nonzero(mask, size=size, fill_value=-1)[0]
+    # gather the values with the indices still on device: no int re-upload,
+    # one f32 download (fill slots gather cor[-1], dropped by the mask below)
+    vals_dev = cor[idx]
     idx_np = hostio.device_get(idx)      # int download: must ride the shim
-    idx_np = idx_np[idx_np >= 0]
-    if len(idx_np) == cap and cap < n:
-        total = int(jnp.sum(mask).astype(jnp.float32))
-        if total > cap:
-            log.warning(
-                "sync candidate cap bound: %d above-threshold samples, "
-                "keeping the first %d — threshold likely collapsed "
-                "(noise-only capture?)", total, cap)
-    vals = np.asarray(cor[jnp.asarray(idx_np)]) if len(idx_np) else np.empty(0)
-    return idx_np, vals
+    vals_np = hostio.device_get(vals_dev)
+    keep = idx_np >= 0
+    return idx_np[keep], vals_np[keep]
 
 
 def group_peaks(indices: np.ndarray, values: np.ndarray,

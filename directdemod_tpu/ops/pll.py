@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils import hostio
+
 
 @dataclass(frozen=True)
 class PskParams:
@@ -79,9 +81,9 @@ class SymbolOut(NamedTuple):
 
 def initial_state(p: PskParams, sync_len: int) -> PskState:
     f32 = jnp.float32
-    # complex zeros built on device (complex host->device puts are not
-    # available over the single-chip tunnel; see utils/hostio)
-    czero = jnp.zeros((), jnp.complex64)
+    # complex zeros built inside jit (an eager complex fill ships the complex
+    # scalar literal over the tunnel link; see utils/hostio.zeros)
+    czero = hostio.zeros((), jnp.complex64)
     return PskState(
         stage=jnp.int32(0),
         anchor=jnp.int32(0),

@@ -11,6 +11,9 @@ Behavioral references:
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from . import fftutil
@@ -47,11 +50,16 @@ def decimate(x: jnp.ndarray, off, stride: int, out_len: int) -> jnp.ndarray:
     return jnp.take(x, idx, mode="clip")
 
 
+@partial(jax.jit, static_argnums=(1,))
 def fft_resample(x: jnp.ndarray, num: int) -> jnp.ndarray:
     """scipy.signal.resample for a real 1-D signal along the last axis.
 
     Matches scipy's spectral truncation/zero-padding rules including the
     half-Nyquist-bin handling in both directions.
+
+    Jitted (num static): the complex spectrum buffers it builds must not be
+    created eagerly over the tunnel (see utils/hostio.zeros), and callers like
+    the per-line APT resample benefit from the fusion anyway.
     """
     n = x.shape[-1]
     if num == n:

@@ -146,7 +146,7 @@ class ShardedDdcFm:
         if done_end < source.length:
             state = (hostio.device_put(carry_tail[-(len(fe.taps) - 1):],
                                        dtype=dtype),
-                     jnp.zeros(1, dtype=dtype))
+                     hostio.zeros(1, dtype))
             # recompute FM boundary value for continuity
             for (s, e) in plan:
                 if s < done_end:
@@ -175,4 +175,5 @@ class ShardedDdcFm:
         last_kept = s + off - J
         seg = hostio.device_put(source.read(last_kept - k + 1, last_kept + 1),
                                 dtype=dtype)
-        return jnp.sum(seg * jnp.asarray(fe.taps_mod[::-1], dtype=dtype))[None]
+        return jnp.sum(seg * hostio.device_put(fe.taps_mod[::-1],
+                                               dtype=dtype))[None]

@@ -190,7 +190,7 @@ class FmDemod(StreamOp):
         return bool(start > 0), None
 
     def init_state(self, dtype):
-        return jnp.zeros((1,), dtype=dtype)
+        return hostio.zeros((1,), dtype)
 
     def apply(self, x, state, aux, meta):
         has_last = meta

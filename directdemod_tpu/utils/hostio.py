@@ -18,6 +18,8 @@ device-side copy, negligible against the transfer itself.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +33,38 @@ def _needs_shim() -> bool:
 @jax.jit
 def _combine_planes(re, im):
     return lax.complex(re, im)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _zeros_jit(shape, dtype):
+    return jnp.zeros(shape, dtype)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _ones_jit(shape, dtype):
+    return jnp.ones(shape, dtype)
+
+
+def zeros(shape, dtype):
+    """Complex-safe jnp.zeros. An EAGER complex fill ships the complex scalar
+    literal host->device, which the tunnel rejects — sometimes raising
+    UNIMPLEMENTED directly, sometimes poisoning the session so every later
+    transfer fails (measured both ways). Jitting bakes the constant into the
+    executable; real dtypes pass straight through."""
+    dt = jnp.dtype(dtype)
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        shape = tuple(shape) if isinstance(shape, (tuple, list)) else (int(shape),)
+        return _zeros_jit(shape, dt)
+    return jnp.zeros(shape, dt)
+
+
+def ones(shape, dtype):
+    """Complex-safe jnp.ones (see `zeros`)."""
+    dt = jnp.dtype(dtype)
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        shape = tuple(shape) if isinstance(shape, (tuple, list)) else (int(shape),)
+        return _ones_jit(shape, dt)
+    return jnp.ones(shape, dt)
 
 
 @jax.jit

@@ -37,9 +37,11 @@ def main():
     fs, off, bw = 2048000, 30000, 60000
     fe = DdcFm(fs, off, design.blackmanharris(151), bw, fm=True)
     rng = np.random.default_rng(0)
+    from directdemod_tpu.utils import hostio as _hostio
     block = args.block
-    x = jnp.asarray((rng.standard_normal(block)
-                     + 1j * rng.standard_normal(block)).astype(np.complex64))
+    x = _hostio.device_put((rng.standard_normal(block)
+                            + 1j * rng.standard_normal(block))
+                           .astype(np.complex64))
 
     # ---- XLA polyphase path (the production lowering)
     state = fe.init_state(jnp.complex64)
@@ -56,11 +58,12 @@ def main():
     xla_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
 
     # ---- Pallas kernel on the identical segment/taps/rotation
+    from directdemod_tpu.utils import hostio
     stride = fe.stride
     out_len = block // stride
-    taps_rev = jnp.asarray(fe.taps_mod[::-1], dtype=jnp.complex64)
-    rot = jnp.asarray(fe.rot, dtype=jnp.complex64)
-    c_prev = jnp.zeros(1, dtype=jnp.complex64)
+    taps_rev = hostio.device_put(fe.taps_mod[::-1], dtype=jnp.complex64)
+    rot = hostio.device_put(fe.rot, dtype=jnp.complex64)
+    c_prev = hostio.zeros(1, jnp.complex64)
 
     run = jax.jit(lambda xx, cp: ddc_fm_pallas(
         xx, taps_rev, rot, cp, stride, out_len, args.interpret))
@@ -98,9 +101,9 @@ def main():
     prev = np.concatenate([[1.0 + 0j], c[:-1]])
     ref = np.angle(c * np.conj(prev) * np.asarray(fe.rot))
     audio_small, _ = ddc_fm_pallas(
-        jnp.asarray(xs, jnp.complex64), taps_rev, rot,
-        jnp.asarray([1.0 + 0j], jnp.complex64), stride, out_small,
-        args.interpret)
+        hostio.device_put(xs, dtype=jnp.complex64), taps_rev, rot,
+        hostio.device_put(np.asarray([1.0 + 0j]), dtype=jnp.complex64),
+        stride, out_small, args.interpret)
     maxdiff = float(np.max(np.abs(np.asarray(audio_small) - ref)))
 
     print(json.dumps({
