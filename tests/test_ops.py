@@ -195,3 +195,31 @@ class TestFftOverlapSave:
         b = np.asarray(_rconv_direct(jnp.asarray(x), jnp.asarray(w)))
         assert a.shape == b.shape
         assert np.max(np.abs(a - b)) < 1e-9
+
+
+class TestPeakCandidates:
+    """candidates_above: count-sized compaction + device-side value gather
+    (the host walk of ref decode_noaa.py:725-746 consumes these pairs)."""
+
+    def test_matches_numpy_nonzero(self, rng):
+        from directdemod_tpu.ops import peaks
+        cor = jnp.asarray(rng.standard_normal(5000).astype(np.float32))
+        thr = jnp.float32(1.5)
+        idx, vals = peaks.candidates_above(cor, thr)
+        ref = np.nonzero(np.asarray(cor) > 1.5)[0]
+        assert np.array_equal(idx, ref)
+        assert np.allclose(vals, np.asarray(cor)[ref])
+
+    def test_empty(self, rng):
+        from directdemod_tpu.ops import peaks
+        cor = jnp.asarray(rng.standard_normal(1000).astype(np.float32))
+        idx, vals = peaks.candidates_above(cor, jnp.float32(1e9))
+        assert len(idx) == 0 and len(vals) == 0
+
+    def test_cap_binding_keeps_first(self, rng, caplog):
+        from directdemod_tpu.ops import peaks
+        cor = jnp.asarray(np.ones(1000, np.float32))
+        with caplog.at_level("WARNING"):
+            idx, vals = peaks.candidates_above(cor, jnp.float32(0.5), cap=16)
+        assert np.array_equal(idx, np.arange(16))
+        assert any("cap bound" in r.message for r in caplog.records)
