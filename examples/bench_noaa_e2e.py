@@ -81,6 +81,19 @@ def worker(iq_path: str) -> None:
 
 def run_reference(iq, fs):
     sys.path.insert(0, "/root/reference")
+    # the 2018-era reference targets scipy 1.0 / numpy 1.14; alias moved
+    # symbols (same shims as tests/test_reference_parity.py)
+    import scipy
+    import scipy.signal as ss
+    for name in ("hamming", "blackmanharris", "gaussian"):
+        if not hasattr(ss, name):
+            setattr(ss, name, getattr(ss.windows, name))
+    if not hasattr(scipy, "ifft"):
+        scipy.ifft = scipy.fft.ifft
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+    if not hasattr(np, "int"):
+        np.int = int
     from directdemod import decode_noaa
 
     class RefSource(ArraySource):
@@ -148,18 +161,22 @@ def main():
     out["realtime_factor"] = round(capture_s / out["value"], 1)
 
     if not args.skip_reference:
-        rdt, ruseful, rimg = run_reference(iq, FS)
-        out["reference_wallclock_s"] = round(rdt, 3)
-        out["reference_useful"] = ruseful
-        out["vs_baseline"] = round(rdt / out["value"], 1)
-        rows = min(img.shape[0], rimg.shape[0])
-        if rows and img.shape[1] == rimg.shape[1]:
-            a = img[:rows].astype(np.float64)
-            b = rimg[:rows].astype(np.float64)
-            cors = [np.corrcoef(a[r], b[r])[0, 1] for r in range(rows)
-                    if a[r].std() > 0 and b[r].std() > 0]
-            if cors:
-                out["image_row_corr_vs_reference"] = round(float(np.median(cors)), 4)
+        try:
+            rdt, ruseful, rimg = run_reference(iq, FS)
+            out["reference_wallclock_s"] = round(rdt, 3)
+            out["reference_useful"] = ruseful
+            out["vs_baseline"] = round(rdt / out["value"], 1)
+            rows = min(img.shape[0], rimg.shape[0])
+            if rows and img.shape[1] == rimg.shape[1]:
+                a = img[:rows].astype(np.float64)
+                b = rimg[:rows].astype(np.float64)
+                cors = [np.corrcoef(a[r], b[r])[0, 1] for r in range(rows)
+                        if a[r].std() > 0 and b[r].std() > 0]
+                if cors:
+                    out["image_row_corr_vs_reference"] = round(
+                        float(np.median(cors)), 4)
+        except Exception as e:      # keep the TPU result even if the A/B dies
+            out["reference_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 
