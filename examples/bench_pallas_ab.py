@@ -58,11 +58,14 @@ def main():
     xla_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
 
     # ---- Pallas kernel on the identical segment/taps/rotation
+    # taps/rot stay HOST numpy: jit bakes closed-over numpy values into the
+    # executable without a transfer, whereas a closed-over *device* complex
+    # array must be downloaded at trace time (UNIMPLEMENTED over the tunnel)
     from directdemod_tpu.utils import hostio
     stride = fe.stride
     out_len = block // stride
-    taps_rev = hostio.device_put(fe.taps_mod[::-1], dtype=jnp.complex64)
-    rot = hostio.device_put(fe.rot, dtype=jnp.complex64)
+    taps_rev = np.asarray(fe.taps_mod[::-1], dtype=np.complex64)
+    rot = np.complex64(fe.rot)
     c_prev = hostio.zeros(1, jnp.complex64)
 
     run = jax.jit(lambda xx, cp: ddc_fm_pallas(
@@ -100,10 +103,12 @@ def main():
                     for m in range(out_small)])
     prev = np.concatenate([[1.0 + 0j], c[:-1]])
     ref = np.angle(c * np.conj(prev) * np.asarray(fe.rot))
-    audio_small, _ = ddc_fm_pallas(
-        hostio.device_put(xs, dtype=jnp.complex64), taps_rev, rot,
-        hostio.device_put(np.asarray([1.0 + 0j]), dtype=jnp.complex64),
-        stride, out_small, args.interpret)
+    run_small = jax.jit(lambda a, c: ddc_fm_pallas(
+        a, jnp.asarray(taps_rev), jnp.asarray(rot), c,
+        stride, out_small, args.interpret))
+    audio_small, _ = run_small(
+        hostio.device_put(xs, dtype=jnp.complex64),
+        hostio.device_put(np.asarray([1.0 + 0j]), dtype=jnp.complex64))
     maxdiff = float(np.max(np.abs(np.asarray(audio_small) - ref)))
 
     print(json.dumps({
