@@ -53,7 +53,15 @@ class BlockFeeder:
             for (s, e) in self.plan:
                 if self._stop.is_set():
                     return
-                if self.raw:
+                if self.raw and callable(getattr(self.source,
+                                                 "read_raw_device", None)):
+                    # capture already resident in HBM: slice on device, no
+                    # host link traffic (io.sources.DeviceRawSource)
+                    block = self.source.read_raw_device(s, e)
+                    if self.sharding is not None:
+                        import jax
+                        block = jax.device_put(block, self.sharding)
+                elif self.raw:
                     block = hostio.device_put_u8(self.source.read_raw(s, e),
                                                  sharding=self.sharding)
                 else:

@@ -17,8 +17,10 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import jax.numpy as jnp
 
 from .. import constants
+from ..utils import hostio
 
 
 def _wav_data_offset(path: str) -> tuple[int, int, int]:
@@ -198,6 +200,62 @@ class ArraySource:
             else len(self._a)
 
     limitData = limit
+
+
+class DeviceRawSource:
+    """IQ capture resident in HBM as raw interleaved uint8 bytes.
+
+    When the capture fits device memory (16 GB of HBM holds a ~2 h
+    2.048 Msps 8-bit capture), upload it ONCE and decode without touching
+    the host link again: `BlockFeeder` recognises `read_raw_device` and
+    slices blocks on device instead of re-uploading them. Mirrors the
+    source ABC surface (ref source.py:18-47) for rate/length bookkeeping;
+    `read`/`read_raw` fall back to (shimmed) downloads for host consumers.
+    """
+
+    source_type = constants.SOURCE_IQDAT
+
+    def __init__(self, raw_dev, samp_freq: int):
+        if raw_dev.dtype != jnp.uint8:
+            raise ValueError("DeviceRawSource wants uint8 interleaved bytes")
+        self._raw = raw_dev
+        self._samp_freq = int(samp_freq)
+
+    @classmethod
+    def from_host_bytes(cls, raw: np.ndarray, samp_freq: int):
+        return cls(hostio.device_put_u8(np.asarray(raw, dtype=np.uint8)),
+                   samp_freq)
+
+    @classmethod
+    def from_file(cls, path: str, samp_freq: int):
+        return cls.from_host_bytes(np.fromfile(path, dtype=np.uint8),
+                                   samp_freq)
+
+    @property
+    def sampFreq(self) -> int:
+        return self._samp_freq
+
+    @property
+    def sourceType(self) -> int:
+        return self.source_type
+
+    @property
+    def length(self) -> int:
+        return int(self._raw.shape[0]) // 2
+
+    def read_raw_device(self, from_index: int, to_index: int):
+        return self._raw[2 * from_index: 2 * to_index]
+
+    def read_raw(self, from_index: int, to_index: int) -> np.ndarray:
+        return hostio.device_get(self.read_raw_device(from_index, to_index))
+
+    def read(self, from_index: int, to_index: int | None = None) -> np.ndarray:
+        if to_index is None:
+            to_index = from_index + 1
+        from ..ops import unpack
+        dev = unpack.iq_u8_to_complex(
+            self.read_raw_device(from_index, to_index), jnp.float32)
+        return hostio.device_get(dev)
 
 
 def open_source(filename: str, given_samp_freq: int | None = None):

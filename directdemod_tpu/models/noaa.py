@@ -154,14 +154,14 @@ class NoaaDecoder:
                                          strict=False,
                                          device_out=self.mesh is None)
             self._audio = (audio, rate)
-            env = self._am_envelope(audio)
             self._sync_rate = rate
+            n = int(audio.shape[0]) if hasattr(audio, "shape") else len(audio)
             log.info("NOAA crude sync: correlating %d samples at %d Hz",
-                     int(env.shape[0]), rate)
-            with self.profiler.stage("sync_correlate", 2 * int(env.shape[0])):
+                     n, rate)
+            with self.profiler.stage("sync_correlate", 2 * n):
                 if self.mesh is not None:
                     from ..parallel.correlate import sharded_find_sync_peaks
-                    env = np.asarray(env)
+                    env = np.asarray(self._am_envelope(audio))
                     self._sync_a = sharded_find_sync_peaks(
                         self.mesh, env,
                         corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True),
@@ -171,21 +171,47 @@ class NoaaDecoder:
                         corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True),
                         rate, K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
                 else:
-                    # fused A+B pass: one haystack FFT + one energy term
-                    # serve both needles (ops/correlate.norm_correlate_multi)
-                    na = corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
-                    nb = corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True)
-                    cors = corr_ops.norm_correlate_multi(
-                        jnp.asarray(env, dtype=jnp.float32),
-                        jnp.asarray(np.stack([na, nb]), dtype=jnp.float32))
-                    self._sync_a = peaks.find_sync_peaks(
-                        cors[0], rate, len(na),
-                        K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
-                    self._sync_b = peaks.find_sync_peaks(
-                        cors[1], rate, len(nb),
-                        K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+                    self._sync_a, self._sync_b = self._crude_sync_fused(
+                        audio, rate)
             self._useful = self._usefulness()
         return [self._sync_a, self._sync_b]
+
+    def _crude_sync_fused(self, audio, rate: int):
+        """Single-dispatch crude-sync scan: blocked envelope + fused A/B
+        normalized correlation + adaptive thresholds + candidate counts run
+        as ONE jitted program (the dense part of ref decode_noaa.py:769-806).
+
+        Over the dev tunnel every eager op is a host<->device round trip;
+        the unfused form cost ~30 RPCs (~4 s of the 60-line e2e wall clock),
+        the fused form costs one kernel launch plus three small downloads."""
+        na = corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
+        nb = corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True)
+        needles = jnp.asarray(np.stack([na, nb]), dtype=jnp.float32)
+        n = int(audio.shape[0]) if hasattr(audio, "shape") else len(audio)
+        k = int(2 * (n / rate)) + 2
+        cors, thr, counts = _crude_sync_kernel(
+            jnp.asarray(audio, dtype=jnp.float32), needles, AM_BLOCK, k,
+            float(K.NOAA_PEAKHEIGHTWIGGLE))
+        counts_np = hostio.device_get(counts)
+        out = []
+        for row in range(2):
+            total = int(counts_np[row])
+            if total == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            cap = min(peaks.CANDIDATE_CAP, n)
+            if total > cap:
+                log.warning("sync candidate cap bound: %d candidates, "
+                            "keeping the first %d", total, cap)
+            size = min(cap, 1 << (min(total, cap) - 1).bit_length())
+            idx, vals = _compact_candidates(cors[row], thr[row], size)
+            idx_np = hostio.device_get(idx)
+            vals_np = hostio.device_get(vals)
+            keep = idx_np >= 0
+            grouped = peaks.group_peaks(idx_np[keep], vals_np[keep],
+                                        K.NOAA_MINPEAKDIST * rate)
+            out.append(np.sort(grouped - len(na) // 2))
+        return out[0], out[1]
 
     def _usefulness(self) -> int:
         """10 consecutive syncs spaced 0.5 s within 5 samples
@@ -361,6 +387,31 @@ class NoaaDecoder:
         out = [da, list(np.diff(da)), qa, ta, db, list(np.diff(db)), qb, tb]
         self._accurate = (use_norm_correlate, out)
         return out
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _crude_sync_kernel(audio, needles, block: int, k: int, wiggle: float):
+    """Envelope -> fused A/B correlation -> adaptive thresholds -> counts,
+    all in one compiled program (see NoaaDecoder._crude_sync_fused)."""
+    env = am_ops.envelope_blocked(audio, block)
+    cors = corr_ops.norm_correlate_multi(env, needles)
+    top = jax.lax.top_k(cors, k)[0]
+    bot = -jax.lax.top_k(-cors, k)[0]
+    avg_top = jnp.mean(top, axis=-1)
+    avg_bot = jnp.mean(bot, axis=-1)
+    thr = avg_top - wiggle * (avg_top - avg_bot)
+    mask = cors > thr[:, None]
+    counts = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    return cors, thr, counts
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _compact_candidates(cor_row, thr_scalar, size: int):
+    """(indices, values) of cor_row > thr, compacted to `size` slots
+    (fill = -1); one dispatch + two small downloads per needle."""
+    mask = cor_row > thr_scalar
+    idx = jnp.nonzero(mask, size=size, fill_value=-1)[0]
+    return idx, cor_row[idx]
 
 
 @jax.jit

@@ -117,11 +117,15 @@ def ddc_fm_pallas(x, taps_rev, rot, c_prev, stride: int, out_len: int,
             pl.BlockSpec((1, 2), lambda t: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE), lambda t: (t, 0)),
+            # single-row layout: Mosaic requires the 2nd-to-last block dim to
+            # divide by 8 OR equal the array dim — (1, TILE) over a
+            # (1, n_tiles*TILE) array satisfies the "equal" arm, whereas the
+            # earlier (n_tiles, TILE) array did not lower on real hardware
+            pl.BlockSpec((1, TILE), lambda t: (0, t)),
             pl.BlockSpec((1, 2), lambda t: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * TILE), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ),
         interpret=interpret,

@@ -30,5 +30,7 @@ def iq_u8_to_complex(raw: jnp.ndarray, real_dtype=jnp.float32) -> jnp.ndarray:
 
 
 def supports_raw(source) -> bool:
-    """True when `source` can serve raw interleaved uint8 byte slices."""
-    return callable(getattr(source, "read_raw", None))
+    """True when `source` can serve raw interleaved uint8 byte slices
+    (host-side `read_raw` or device-resident `read_raw_device`)."""
+    return callable(getattr(source, "read_raw", None)) \
+        or callable(getattr(source, "read_raw_device", None))

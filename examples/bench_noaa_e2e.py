@@ -44,28 +44,38 @@ class ArraySource:
 def worker(iq_path: str) -> None:
     """One decode attempt on the default (TPU) backend; prints JSON.
 
-    Decodes from the uint8 .dat capture file (written next to the .npy), so
-    the timed path is the production one: file bytes -> raw-u8 upload ->
-    device unpack -> image."""
-    from directdemod_tpu.io.sources import IQDat
+    Times TWO modes on the same capture:
+      * feed-inclusive — file bytes -> raw-u8 upload -> device unpack ->
+        image (the production cold path; over the dev tunnel this is bounded
+        by the host->device link bandwidth);
+      * device-resident — the raw bytes already in HBM
+        (io.sources.DeviceRawSource), measuring decode compute + dispatch
+        only, which is what a production host link (GB/s) would see."""
+    from directdemod_tpu.io.sources import DeviceRawSource, IQDat
     from directdemod_tpu.models.noaa import NoaaDecoder
 
     fs = 2048000
     src = IQDat(iq_path + ".dat", fs)
 
-    def decode():
-        dec = NoaaDecoder(src, offset=30000)
+    def decode(source):
+        dec = NoaaDecoder(source, offset=30000)
         useful = dec.useful
         img = dec.get_image()
         return useful, img, dec
 
     t0 = time.perf_counter()
-    decode()                 # full-capture warm-up: compiles every jit shape
-    warm = time.perf_counter() - t0   # the timed run below hits them warm
+    decode(src)              # full-capture warm-up: compiles every jit shape
+    warm = time.perf_counter() - t0   # the timed runs below hit them warm
 
     t0 = time.perf_counter()
-    useful, img, dec = decode()
+    useful, img, dec = decode(src)
     dt = time.perf_counter() - t0
+
+    src_dev = DeviceRawSource.from_file(iq_path + ".dat", fs)
+    decode(src_dev)                    # warm the resident-path jit shapes
+    t0 = time.perf_counter()
+    useful_r, img_r, dec_r = decode(src_dev)
+    dt_res = time.perf_counter() - t0
 
     import jax
     np.save(iq_path + ".img.npy", img)
@@ -73,6 +83,9 @@ def worker(iq_path: str) -> None:
         "wallclock_s": round(dt, 3),
         "useful": useful,
         "image_shape": list(img.shape),
+        "resident_wallclock_s": round(dt_res, 3),
+        "resident_image_equal": bool(np.array_equal(img, img_r)),
+        "resident_stages": dec_r.profiler.report(),
         "warmup_incl_compile_s": round(warm, 1),
         "stages": dec.profiler.report(),
         "device": jax.devices()[0].device_kind,
@@ -159,6 +172,9 @@ def main():
            "capture_samples": len(iq),
            "realtime_factor": None, **res}
     out["realtime_factor"] = round(capture_s / out["value"], 1)
+    if res.get("resident_wallclock_s"):
+        out["resident_realtime_factor"] = round(
+            capture_s / res["resident_wallclock_s"], 1)
 
     if not args.skip_reference:
         try:
