@@ -15,12 +15,16 @@ few hundred scalars per line).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .. import constants as K
 from ..ops import resample as rs
+from ..utils import hostio
 
 
 # ------------------------------------------------------------------ sync filling
@@ -81,29 +85,63 @@ def fill_syncs(csync, max_len) -> list:
 
 # ------------------------------------------------------------------ batched resample
 
-def _resample_lines_batched(am: np.ndarray, spans: list, unit: int):
+_SYNC_BITS = len(K.NOAA_SYNCA)          # 40: rows consumed by calibration
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _lines_kernel(x, starts_f32, ln: int, num: int, unit: int):
+    """Gather `ln`-sample spans at `starts` from the device envelope,
+    Fourier-resample to `num`, reshape (unit, k), and reduce: per-pixel
+    median (the image row, ref decode_noaa.py:350-354) plus the first
+    `_SYNC_BITS` rows (the calibration sync-train samples,
+    ref decode_noaa.py:357-369). One dispatch per line-length group; only
+    the reduced outputs cross the link. Starts ride as exact-f32 ints
+    (< 2^24 for any crude-rate capture index)."""
+    starts = starts_f32.astype(jnp.int32)
+    rows = jax.vmap(lambda s0: lax.dynamic_slice(x, (s0,), (ln,)))(starts)
+    resz = rs.fft_resample(rows, num)
+    mats = resz.reshape(rows.shape[0], unit, num // unit)
+    return jnp.median(mats, axis=-1), mats[:, :_SYNC_BITS, :]
+
+
+def _resample_lines_batched(am: np.ndarray, spans: list, unit: int,
+                            am_dev=None):
     """For each (start, end) span, Fourier-resample am[start:end] to
     (len//unit)*unit samples and reshape to (unit, k) -- the reference's
     per-line `signal.resample` + reshape (ref decode_noaa.py:350-354) batched
-    by identical length on device. Returns {line_index: (unit, k) ndarray}."""
+    by identical length on device. Returns {line_index: (median_row (unit,),
+    head (_SYNC_BITS, k))}. With `am_dev` (device-resident envelope) the
+    spans are gathered, resampled, and median-reduced ON device; only the
+    per-line reductions are downloaded."""
     groups: dict[int, list] = {}
     for li, (s, e) in enumerate(spans):
         # degenerate (duplicate/out-of-order) syncs yield empty or reversed
         # spans; treat them as zero-length lines instead of feeding a
         # negative resample size downstream
         groups.setdefault(max(e - s, 0), []).append(li)
-    out: dict[int, np.ndarray] = {}
+    out: dict[int, tuple] = {}
     for ln, members in groups.items():
         k = ln // unit
         if k == 0:
             for li in members:
-                out[li] = np.zeros((unit, 0))
+                out[li] = (np.zeros(0), np.zeros((_SYNC_BITS, 0)))
             continue
         num = k * unit
+        if am_dev is not None:
+            starts = np.asarray([spans[li][0] for li in members],
+                                dtype=np.float32)
+            med, head = _lines_kernel(am_dev, jnp.asarray(starts),
+                                      ln, num, unit)
+            med = hostio.device_get(med)
+            head = hostio.device_get(head)
+            for row, li in enumerate(members):
+                out[li] = (med[row], head[row])
+            continue
         batch = np.stack([am[spans[li][0]:spans[li][1]] for li in members])
         resz = np.asarray(rs.fft_resample(jnp.asarray(batch), num))
         for row, li in enumerate(members):
-            out[li] = resz[row].reshape(unit, k)
+            mat = resz[row].reshape(unit, k)
+            out[li] = (np.median(mat, axis=-1), mat[:_SYNC_BITS])
     return out
 
 
@@ -212,9 +250,13 @@ def _quantize(line: np.ndarray, scale: float, offset: float) -> np.ndarray:
 # ------------------------------------------------------------------ assembly
 
 def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
-                   ucsync: np.ndarray) -> tuple[np.ndarray, int | None, int | None]:
+                   ucsync: np.ndarray, am_dev=None
+                   ) -> tuple[np.ndarray, int | None, int | None]:
     """Build the calibrated APT image from the AM envelope and filled syncs
     (ref decode_noaa.py:305-461). Returns (image, channel_id_a, channel_id_b).
+
+    `am_dev`: optional device-resident copy of `am`; line resample + median
+    reduce then run on device and only per-line reductions are downloaded.
     """
     num_pixels = int(0.5 / K.NOAA_T)           # 2080 px per full line
     half = int(num_pixels * 0.5)               # 1040 per channel
@@ -241,8 +283,8 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
         spans_a.append((sa, ea))
         spans_b.append((sb, eb))
 
-    mats_a = _resample_lines_batched(am, spans_a, half)
-    mats_b = _resample_lines_batched(am, spans_b, half)
+    mats_a = _resample_lines_batched(am, spans_a, half, am_dev)
+    mats_b = _resample_lines_batched(am, spans_b, half, am_dev)
 
     calib = _Calib(low=float(low), high=float(high))
     strip_len = int(len(K.NOAA_SYNCA) * K.NOAA_T * rate)
@@ -253,18 +295,17 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
     ucset = set(float(u) for u in ucsync)
 
     for li, i in enumerate(keep):
-        mat_a, mat_b = mats_a[li], mats_b[li]
+        (med_a, head_a), (med_b, _) = mats_a[li], mats_b[li]
         sa, sb = spans_a[li][0], spans_b[li][0]
 
-        if float(csync_a[i]) in ucset and mat_a.shape[1] > 0:
-            calib.update_from_sync_train(mat_a)
+        if float(csync_a[i]) in ucset and head_a.shape[1] > 0:
+            calib.update_from_sync_train(head_a)
 
         strip_a = float(np.median(am[max(sa - strip_len, 0):sa])) if sa > 0 else 0.0
         strip_b = float(np.median(am[max(sb - strip_len, 0):sb])) if sb > 0 else 0.0
         calib.step_wedge(strip_a, strip_b)
 
-        line = np.concatenate([np.median(mat_a, axis=-1) if mat_a.size else np.empty(0),
-                               np.median(mat_b, axis=-1) if mat_b.size else np.empty(0)])
+        line = np.concatenate([med_a, med_b])
 
         if calib.slope is None or calib.intercept is None:
             buffered.append(line.copy())

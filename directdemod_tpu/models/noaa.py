@@ -250,10 +250,13 @@ class NoaaDecoder:
                 filtered = sharded_zero_phase(
                     self.mesh, bp, np.asarray(audio, dtype=np.float32))
                 env = sharded_envelope_blocked(self.mesh, filtered, AM_BLOCK)
+                env_dev = None
             else:
                 filtered = bp.zero_phase(jnp.asarray(audio, dtype=jnp.float32))
-                # one transfer down: the calibration walk is host O(lines)
-                env = np.asarray(self._am_envelope(filtered))
+                # host copy feeds the strip/contrast walks; the device copy
+                # feeds the batched line resample+median (apt._lines_kernel)
+                env_dev = self._am_envelope(filtered)
+                env = hostio.device_get(env_dev)
 
             csync_a = np.asarray(self._sync_a, dtype=np.float64) \
                 / self._sync_rate * rate
@@ -273,7 +276,7 @@ class NoaaDecoder:
                 csync_b = list(np.asarray(csync_a) + int(0.25 * rate))
 
             img, ida, idb = apt.assemble_image(env, rate, csync_a, csync_b,
-                                               ucsync)
+                                               ucsync, am_dev=env_dev)
             self._image = img
             self._ch_id = (ida, idb)
         return self._image
