@@ -81,6 +81,22 @@ class NoaaDecoder:
         j2 = int(decim_rate // target_rate) if not strict else 1
         out_rate = int(decim_rate / j2) if not strict else target_rate
 
+        if (self.mesh is None and not strict and j2 == 1
+                and callable(getattr(self.src, "read_raw_device", None))):
+            # device-resident capture: the strict=False chain is block-size
+            # invariant, so run the fused DDC over the WHOLE capture in one
+            # dispatch (raw bytes -> unpack -> conv -> FM inside one jit);
+            # over the tunnel each dispatch costs ~0.3 s of RPC latency, so
+            # one launch beats the 20M-sample chunk loop outright
+            hist, c_prev = fe.init_state(self.dtype)
+            n = self.src.length
+            out_len = fe.block_out_len(0, n)
+            with self.profiler.stage("fm_frontend", n):
+                raw = self.src.read_raw_device(0, n)
+                audio, _, _ = fe._step(raw, hist, c_prev, jnp.int32(0),
+                                       out_len, True)
+            return audio, out_rate
+
         if self.mesh is not None and not strict and j2 == 1:
             # chunk-parallel front end over the mesh's time axis. Without a
             # strict resample the chain is block-size-invariant (all carries
@@ -398,8 +414,8 @@ def _crude_sync_kernel(audio, needles, block: int, k: int, wiggle: float):
     all in one compiled program (see NoaaDecoder._crude_sync_fused)."""
     env = am_ops.envelope_blocked(audio, block)
     cors = corr_ops.norm_correlate_multi(env, needles)
-    top = jax.lax.top_k(cors, k)[0]
-    bot = -jax.lax.top_k(-cors, k)[0]
+    top = peaks.top_k_exact(cors, k)
+    bot = -peaks.top_k_exact(-cors, k)
     avg_top = jnp.mean(top, axis=-1)
     avg_bot = jnp.mean(bot, axis=-1)
     thr = avg_top - wiggle * (avg_top - avg_bot)

@@ -38,8 +38,8 @@ def _kernel(lr0_ref, lr1_ref, li0_ref, li1_ref, wr_ref, wi_ref, rot_ref,
 
     @pl.when(t == 0)
     def _():
-        carry_ref[0, 0] = cprev_ref[0, 0]
-        carry_ref[0, 1] = cprev_ref[0, 1]
+        # full-slice copy: Mosaic rejects scalar stores to VMEM
+        carry_ref[:, :] = cprev_ref[:, :]
 
     lr = jnp.concatenate([lr0_ref[:, :], lr1_ref[:, :]], axis=1)
     li = jnp.concatenate([li0_ref[:, :], li1_ref[:, :]], axis=1)
@@ -62,14 +62,14 @@ def _kernel(lr0_ref, lr1_ref, li0_ref, li1_ref, wr_ref, wi_ref, rot_ref,
     # d = c[m] * conj(c[m-1]) * rot ; audio = atan2(Im d, Re d)
     pr = cr * prev_r + ci * prev_i
     pi = ci * prev_r - cr * prev_i
-    rr = rot_ref[0, 0]
-    ri = rot_ref[0, 1]
+    rr = rot_ref[0:1, 0:1]
+    ri = rot_ref[0:1, 1:2]
     dr = pr * rr - pi * ri
     di = pr * ri + pi * rr
-    out_ref[0, :] = jnp.arctan2(di, dr)[0, :]
+    out_ref[:, :] = jnp.arctan2(di, dr)
 
-    carry_ref[0, 0] = cr[0, TILE - 1]
-    carry_ref[0, 1] = ci[0, TILE - 1]
+    carry_ref[:, :] = jnp.concatenate(
+        [cr[0:1, TILE - 1:TILE], ci[0:1, TILE - 1:TILE]], axis=1)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
@@ -161,8 +161,8 @@ def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
 
     @pl.when(t == 0)
     def _():
-        carry_ref[0, 0] = cprev_ref[0, 0]
-        carry_ref[0, 1] = cprev_ref[0, 1]
+        # full-slice copy: Mosaic rejects scalar stores to VMEM
+        carry_ref[:, :] = cprev_ref[:, :]
 
     b = jnp.concatenate([b0_ref[:, :], b1_ref[:, :]], axis=0) \
         .astype(jnp.float32)                       # (2*TILE, 2J)
@@ -171,20 +171,20 @@ def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
     for qq in range(q):
         c = c + jnp.dot(b[qq:qq + TILE, :], u_ref[qq],
                         preferred_element_type=jnp.float32)
-    cr = c[:, 0:1] - off_ref[0, 0]                  # (TILE, 1)
-    ci = c[:, 1:2] - off_ref[0, 1]
+    cr = c[:, 0:1] - off_ref[0:1, 0:1]              # (TILE, 1)
+    ci = c[:, 1:2] - off_ref[0:1, 1:2]
 
     prev_r = jnp.concatenate([carry_ref[0:1, 0:1], cr[:TILE - 1, :]], axis=0)
     prev_i = jnp.concatenate([carry_ref[0:1, 1:2], ci[:TILE - 1, :]], axis=0)
 
     pr = cr * prev_r + ci * prev_i
     pi = ci * prev_r - cr * prev_i
-    rr = rot_ref[0, 0]
-    ri = rot_ref[0, 1]
-    out_ref[:, 0] = jnp.arctan2(pr * ri + pi * rr, pr * rr - pi * ri)[:, 0]
+    rr = rot_ref[0:1, 0:1]
+    ri = rot_ref[0:1, 1:2]
+    out_ref[:, :] = jnp.arctan2(pr * ri + pi * rr, pr * rr - pi * ri)
 
-    carry_ref[0, 0] = cr[TILE - 1, 0]
-    carry_ref[0, 1] = ci[TILE - 1, 0]
+    carry_ref[:, :] = jnp.concatenate(
+        [cr[TILE - 1:TILE, :], ci[TILE - 1:TILE, :]], axis=1)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))

@@ -30,6 +30,26 @@ log = logging.getLogger(__name__)
 CANDIDATE_CAP = 1 << 18
 
 
+def top_k_exact(x: jnp.ndarray, k: int, block: int = 4096) -> jnp.ndarray:
+    """Exact top-k values of the last axis, two-stage.
+
+    `lax.top_k` over a multi-million-element axis lowers to one enormous
+    sort on TPU (~seconds at 1.8M); splitting into `block`-wide rows, taking
+    per-row top-k (batched small sorts), and reducing the k*rows survivors
+    is exact — the global top-k is a subset of the per-block top-k — and
+    orders of magnitude faster. Falls back to plain top_k for short inputs."""
+    n = x.shape[-1]
+    if n <= 4 * block or k >= block:
+        return lax.top_k(x, k)[0]
+    nb = n // block
+    head = x[..., : nb * block].reshape(x.shape[:-1] + (nb, block))
+    cand = lax.top_k(head, k)[0].reshape(x.shape[:-1] + (nb * k,))
+    tail = x[..., nb * block:]
+    if tail.shape[-1]:
+        cand = jnp.concatenate([cand, tail], axis=-1)
+    return lax.top_k(cand, k)[0]
+
+
 def adaptive_threshold(cor: jnp.ndarray, samp_rate: float,
                        wiggle: float) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The reference's peak-height floor (ref decode_noaa.py:713-723):
@@ -37,8 +57,8 @@ def adaptive_threshold(cor: jnp.ndarray, samp_rate: float,
     spread, with k = int(2 * duration_seconds) + 2. Returns (threshold, k)."""
     n = cor.shape[0]
     k = int(2 * (n / samp_rate)) + 2
-    top = lax.top_k(cor, k)[0]
-    bot = -lax.top_k(-cor, k)[0]
+    top = top_k_exact(cor, k)
+    bot = -top_k_exact(-cor, k)
     avg_top = jnp.sum(top) / k
     avg_bot = jnp.sum(bot) / k
     return avg_top - wiggle * (avg_top - avg_bot), k
