@@ -268,10 +268,11 @@ class NoaaDecoder:
                 env = sharded_envelope_blocked(self.mesh, filtered, AM_BLOCK)
                 env_dev = None
             else:
-                filtered = bp.zero_phase(jnp.asarray(audio, dtype=jnp.float32))
-                # host copy feeds the strip/contrast walks; the device copy
-                # feeds the batched line resample+median (apt._lines_kernel)
-                env_dev = self._am_envelope(filtered)
+                # bandpass filtfilt + blocked envelope fused into one
+                # dispatch; host copy feeds the strip/contrast walks, the
+                # device copy the batched line resample (apt._lines_kernel)
+                env_dev = _filt_env_kernel(
+                    jnp.asarray(audio, dtype=jnp.float32), bp, AM_BLOCK)
                 env = hostio.device_get(env_dev)
 
             csync_a = np.asarray(self._sync_a, dtype=np.float64) \
@@ -406,6 +407,13 @@ class NoaaDecoder:
         out = [da, list(np.diff(da)), qa, ta, db, list(np.diff(db)), qb, tb]
         self._accurate = (use_norm_correlate, out)
         return out
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _filt_env_kernel(audio, bp, block: int):
+    """Zero-phase bandpass + blocked Hilbert envelope in one compiled
+    program (the image-stage chain of ref decode_noaa.py:274,631-657)."""
+    return am_ops.envelope_blocked(bp.zero_phase(audio), block)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
