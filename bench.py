@@ -118,6 +118,29 @@ def _tpu_chain_msamps(block: int = 20_000_000, iters: int = 10) -> tuple[float, 
     return block * iters / dt / 1e6, dev.device_kind
 
 
+def _link_mb_s(mb: int = 64) -> tuple[float, float]:
+    """Host->device and device->host bandwidth of the tunnel link, measured
+    with the same uint8-as-u32 shim the production feed uses. This is the
+    quantity that bounds every feed-inclusive number in this environment
+    (~15-20 MB/s on the dev tunnel vs GB/s for a production host link)."""
+    import jax.numpy as jnp
+    from directdemod_tpu.utils import hostio
+    raw = np.random.default_rng(3).integers(
+        0, 256, mb << 20, dtype=np.uint8)
+    up = hostio.device_put_u8(raw[: 1 << 20])          # warm the jits
+    np.asarray(up.astype(jnp.float32)[:8])
+    t0 = time.perf_counter()
+    dev = hostio.device_put_u8(raw)
+    dev.block_until_ready()
+    up_s = time.perf_counter() - t0
+    f32 = dev[: (mb << 20) // 4].astype(jnp.float32)
+    f32.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(f32)
+    down_s = time.perf_counter() - t0
+    return mb / up_s, mb / down_s
+
+
 def main() -> int:
     last_err = None
     value = device = None
@@ -144,6 +167,11 @@ def main() -> int:
     except Exception as e:
         feed = None
         feed_err = f"{type(e).__name__}: {e}"
+    try:
+        with watchdog(300, "link bandwidth"):
+            link_up, link_down = _link_mb_s()
+    except Exception:
+        link_up = link_down = None
     out = {
         "metric": "iq_chain_throughput",
         "value": round(value, 1),
@@ -154,6 +182,9 @@ def main() -> int:
         # inclusive number below covers file -> device -> audio end to end
         "measures": "device-resident 20M-sample blocks, steady state",
         "feed_inclusive_msamples_per_s": round(feed, 1) if feed else None,
+        # the environment bound on any feed-inclusive number (2 B/sample)
+        "link_upload_mb_s": round(link_up, 1) if link_up else None,
+        "link_download_mb_s": round(link_down, 1) if link_down else None,
         # single-core NumPy/SciPy chain timed on this same host
         "reference_msamples_per_s_same_host_1core_scipy": (
             round(ref, 1) if ref == ref else None),
