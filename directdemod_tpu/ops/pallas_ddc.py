@@ -29,9 +29,11 @@ TILE = 512          # outputs per grid step
 
 
 def _kernel(lr0_ref, lr1_ref, li0_ref, li1_ref, wr_ref, wi_ref, rot_ref,
-            cprev_ref, out_ref, carry_ref):
+            cprev_ref, outr_ref, outi_ref, carry_ref):
     """One tile. lr0/lr1 (J, TILE): current + next lane blocks (halo);
-    wr/wi (Q, J) polyphase taps; rot/cprev (1, 2); out (1, TILE);
+    wr/wi (Q, J) polyphase taps; rot/cprev (1, 2); outr/outi (1, TILE) the
+    re/im of d = c[m] conj(c[m-1]) rot (Mosaic has no atan2 primitive, so
+    the final angle runs in XLA on the decimated output);
     carry (1, 2) revisited across the sequential grid."""
     t = pl.program_id(0)
     q = wr_ref.shape[0]
@@ -59,14 +61,13 @@ def _kernel(lr0_ref, lr1_ref, li0_ref, li1_ref, wr_ref, wi_ref, rot_ref,
     prev_r = jnp.concatenate([carry_ref[0:1, 0:1], cr[:, :TILE - 1]], axis=1)
     prev_i = jnp.concatenate([carry_ref[0:1, 1:2], ci[:, :TILE - 1]], axis=1)
 
-    # d = c[m] * conj(c[m-1]) * rot ; audio = atan2(Im d, Re d)
+    # d = c[m] * conj(c[m-1]) * rot ; the angle runs outside the kernel
     pr = cr * prev_r + ci * prev_i
     pi = ci * prev_r - cr * prev_i
     rr = rot_ref[0:1, 0:1]
     ri = rot_ref[0:1, 1:2]
-    dr = pr * rr - pi * ri
-    di = pr * ri + pi * rr
-    out_ref[:, :] = jnp.arctan2(di, dr)
+    outr_ref[:, :] = pr * rr - pi * ri
+    outi_ref[:, :] = pr * ri + pi * rr
 
     carry_ref[:, :] = jnp.concatenate(
         [cr[0:1, TILE - 1:TILE], ci[0:1, TILE - 1:TILE]], axis=1)
@@ -103,7 +104,7 @@ def ddc_fm_pallas(x, taps_rev, rot, c_prev, stride: int, out_len: int,
     cp2 = jnp.stack([jnp.real(c_prev[0]), jnp.imag(c_prev[0])]).reshape(1, 2) \
         .astype(jnp.float32)
 
-    out, carry = pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -122,15 +123,19 @@ def ddc_fm_pallas(x, taps_rev, rot, c_prev, stride: int, out_len: int,
             # (1, n_tiles*TILE) array satisfies the "equal" arm, whereas the
             # earlier (n_tiles, TILE) array did not lower on real hardware
             pl.BlockSpec((1, TILE), lambda t: (0, t)),
+            pl.BlockSpec((1, TILE), lambda t: (0, t)),
             pl.BlockSpec((1, 2), lambda t: (0, 0)),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((1, n_tiles * TILE), jnp.float32),
             jax.ShapeDtypeStruct((1, n_tiles * TILE), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ),
         interpret=interpret,
     )(lr, lr, li, li, wr, wi, rot2, cp2)
-    audio = out.reshape(-1)[:out_len]
+    out_r, out_i, carry = out
+    audio = jnp.arctan2(out_i.reshape(-1)[:out_len],
+                        out_r.reshape(-1)[:out_len])
     c_last = (carry[0, 0] + 1j * carry[0, 1]).reshape(1).astype(x.dtype)
     return audio, c_last
 
@@ -138,7 +143,7 @@ def ddc_fm_pallas(x, taps_rev, rot, c_prev, stride: int, out_len: int,
 # ----------------------------------------------------------- raw-uint8 variant
 
 def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
-               out_ref, carry_ref):
+               outr_ref, outi_ref, carry_ref):
     """Fused unpack + DDC + FM from RAW interleaved uint8 bytes.
 
     b0/b1: (TILE, 2J) byte blocks t and t+1 (halo rows); u: (q, 2J, 2)
@@ -181,7 +186,8 @@ def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
     pi = ci * prev_r - cr * prev_i
     rr = rot_ref[0:1, 0:1]
     ri = rot_ref[0:1, 1:2]
-    out_ref[:, :] = jnp.arctan2(pr * ri + pi * rr, pr * rr - pi * ri)
+    outr_ref[:, :] = pr * rr - pi * ri        # angle runs in XLA outside
+    outi_ref[:, :] = pr * ri + pi * rr
 
     carry_ref[:, :] = jnp.concatenate(
         [cr[TILE - 1:TILE, :], ci[TILE - 1:TILE, :]], axis=1)
@@ -228,7 +234,7 @@ def ddc_fm_pallas_u8(raw, taps_rev, rot, c_prev, stride: int, out_len: int,
     cp2 = jnp.stack([jnp.real(c_prev[0]), jnp.imag(c_prev[0])]) \
         .reshape(1, 2).astype(jnp.float32)
 
-    out, carry = pl.pallas_call(
+    out = pl.pallas_call(
         _kernel_u8,
         grid=(n_tiles,),
         in_specs=[
@@ -241,15 +247,19 @@ def ddc_fm_pallas_u8(raw, taps_rev, rot, c_prev, stride: int, out_len: int,
         ],
         out_specs=(
             pl.BlockSpec((TILE, 1), lambda t: (t, 0)),
+            pl.BlockSpec((TILE, 1), lambda t: (t, 0)),
             pl.BlockSpec((1, 2), lambda t: (0, 0)),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TILE, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * TILE, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ),
         interpret=interpret,
     )(b, b, u, off, rot2, cp2)
-    audio = out.reshape(-1)[:out_len]
+    out_r, out_i, carry = out
+    audio = jnp.arctan2(out_i.reshape(-1)[:out_len],
+                        out_r.reshape(-1)[:out_len])
     # streaming carry = conv output at the last KEPT index. The in-kernel
     # carry sits at the tile grid's final row (n_tiles*TILE - 1), which is
     # past out_len whenever out_len is not a TILE multiple, so recompute it
