@@ -169,8 +169,9 @@ def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
         # full-slice copy: Mosaic rejects scalar stores to VMEM
         carry_ref[:, :] = cprev_ref[:, :]
 
+    # Mosaic can't cast u8 -> f32 directly; hop through int32
     b = jnp.concatenate([b0_ref[:, :], b1_ref[:, :]], axis=0) \
-        .astype(jnp.float32)                       # (2*TILE, 2J)
+        .astype(jnp.int32).astype(jnp.float32)     # (2*TILE, 2J)
 
     c = jnp.zeros((TILE, 2), dtype=jnp.float32)
     for qq in range(q):
