@@ -205,28 +205,33 @@ class NoaaDecoder:
         needles = jnp.asarray(np.stack([na, nb]), dtype=jnp.float32)
         n = int(audio.shape[0]) if hasattr(audio, "shape") else len(audio)
         k = int(2 * (n / rate)) + 2
-        cors, thr, counts = _crude_sync_kernel(
+        cap = _sync_cap(n)
+        packed, cors, thr = _crude_sync_kernel(
             jnp.asarray(audio, dtype=jnp.float32), needles, AM_BLOCK, k,
-            float(K.NOAA_PEAKHEIGHTWIGGLE))
-        counts_np = hostio.device_get(counts)
+            float(K.NOAA_PEAKHEIGHTWIGGLE), cap)
+        p = hostio.device_get(packed)              # the stage's ONE download
+        idx_np = (p[:, :cap, 0].astype(np.int64) * 4096
+                  + p[:, :cap, 1].astype(np.int64))
+        vals_np = p[:, :cap, 2]
+        counts_np = (p[:, cap, 0].astype(np.int64) * 4096
+                     + p[:, cap, 1].astype(np.int64))
         out = []
         for row in range(2):
             total = int(counts_np[row])
-            if total == 0:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            cap = min(peaks.CANDIDATE_CAP, n)
             if total > cap:
-                log.warning("sync candidate cap bound: %d candidates, "
-                            "keeping the first %d", total, cap)
-            size = min(cap, 1 << (min(total, cap) - 1).bit_length())
-            idx, vals = _compact_candidates(cors[row], thr[row], size)
-            idx_np = hostio.device_get(idx)
-            vals_np = hostio.device_get(vals)
-            keep = idx_np >= 0
-            grouped = peaks.group_peaks(idx_np[keep], vals_np[keep],
+                # slots overflowed (threshold collapse / extreme sync
+                # density): exact unbounded fallback on the same cors row
+                log.warning("sync candidate slots bound (%d > %d); "
+                            "falling back to exact extraction",
+                            total, idx.shape[-1])
+                cand_i, cand_v = peaks.candidates_above(cors[row], thr[row])
+            else:
+                keep = idx_np[row] >= 0
+                cand_i, cand_v = idx_np[row][keep], vals_np[row][keep]
+            grouped = peaks.group_peaks(cand_i, cand_v,
                                         K.NOAA_MINPEAKDIST * rate)
-            out.append(np.sort(grouped - len(na) // 2))
+            out.append(np.sort(grouped - len(na) // 2)
+                       if len(grouped) else np.empty(0, dtype=np.int64))
         return out[0], out[1]
 
     def _usefulness(self) -> int:
@@ -416,10 +421,23 @@ def _filt_env_kernel(audio, bp, block: int):
     return am_ops.envelope_blocked(bp.zero_phase(audio), block)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _crude_sync_kernel(audio, needles, block: int, k: int, wiggle: float):
-    """Envelope -> fused A/B correlation -> adaptive thresholds -> counts,
-    all in one compiled program (see NoaaDecoder._crude_sync_fused)."""
+def _sync_cap(n: int) -> int:
+    """In-kernel candidate slots per needle. Each sync peak raises a plateau
+    of ~100 above-threshold samples (measured ~n/300 candidates on clean
+    captures), so n//16 leaves ~18x margin; the host still checks `counts`
+    and falls back to the exact unbounded path on overflow."""
+    return min(n, max(4096, n // 16))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _crude_sync_kernel(audio, needles, block: int, k: int, wiggle: float,
+                       cap: int):
+    """Envelope -> fused A/B correlation -> adaptive thresholds -> compacted
+    candidates, all in one compiled program (NoaaDecoder._crude_sync_fused).
+
+    Candidates come back pre-compacted to `cap` fixed slots so the host
+    needs no count round-trip (each forced sync over the tunnel costs
+    ~0.3 s of RPC latency and a fresh compile per dynamic size)."""
     env = am_ops.envelope_blocked(audio, block)
     cors = corr_ops.norm_correlate_multi(env, needles)
     top = peaks.top_k_exact(cors, k)
@@ -429,16 +447,20 @@ def _crude_sync_kernel(audio, needles, block: int, k: int, wiggle: float):
     thr = avg_top - wiggle * (avg_top - avg_bot)
     mask = cors > thr[:, None]
     counts = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    return cors, thr, counts
-
-
-@partial(jax.jit, static_argnums=(2,))
-def _compact_candidates(cor_row, thr_scalar, size: int):
-    """(indices, values) of cor_row > thr, compacted to `size` slots
-    (fill = -1); one dispatch + two small downloads per needle."""
-    mask = cor_row > thr_scalar
-    idx = jnp.nonzero(mask, size=size, fill_value=-1)[0]
-    return idx, cor_row[idx]
+    idx = jax.vmap(lambda m: jnp.nonzero(m, size=cap, fill_value=-1)[0])(mask)
+    vals = jnp.take_along_axis(cors, jnp.maximum(idx, 0), axis=-1)
+    # single-download packing: indices ride as exact (hi, lo) f32 halves
+    # (any int32; see hostio._pack_int), counts in an extra slot row — every
+    # forced device->host sync over the tunnel costs ~0.3-0.5 s, so the
+    # whole stage returns ONE f32 tensor
+    hi = jnp.floor_divide(idx, 4096).astype(jnp.float32)
+    lo = jnp.remainder(idx, 4096).astype(jnp.float32)
+    packed = jnp.stack([hi, lo, vals], axis=-1)            # (2, cap, 3)
+    crow = jnp.zeros((2, 1, 3), jnp.float32) \
+        .at[:, 0, 0].set(jnp.floor_divide(counts, 4096).astype(jnp.float32)) \
+        .at[:, 0, 1].set(jnp.remainder(counts, 4096).astype(jnp.float32))
+    packed = jnp.concatenate([packed, crow], axis=1)       # (2, cap+1, 3)
+    return packed, cors, thr
 
 
 @jax.jit
