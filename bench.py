@@ -141,6 +141,29 @@ def _link_mb_s(mb: int = 64) -> tuple[float, float]:
     return mb / up_s, mb / down_s
 
 
+def _last_recorded_feed():
+    """Most recent non-null feed-inclusive number from committed artifacts
+    (BENCH_FRONTEND_r*.json / BENCH_r*.json), used as a stale fallback when
+    the live measurement dies on a wedged tunnel."""
+    import glob
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(here, "BENCH_FRONTEND_r*.json"))
+                   + glob.glob(os.path.join(here, "BENCH_r*.json")),
+                   key=os.path.getmtime, reverse=True)
+    for path in cands:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            doc = doc.get("parsed", doc)
+            v = doc.get("feed_inclusive_msamples_per_s")
+            if v:
+                return float(v)
+        except Exception:
+            continue
+    return None
+
+
 def main() -> int:
     last_err = None
     value = device = None
@@ -161,12 +184,23 @@ def main() -> int:
         ref = _reference_chain_msamps()
     except Exception:
         ref = float("nan")
-    try:
-        with watchdog(900, "feed-inclusive bench"):
-            feed = _feed_chain_msamps()
-    except Exception as e:
-        feed = None
-        feed_err = f"{type(e).__name__}: {e}"
+    # feed-inclusive: bounded retries at shrinking sizes, then carry the
+    # last recorded artifact's number forward as stale rather than nulling
+    # the field (round 3's driver run wedged here and shipped a null)
+    feed = feed_err = None
+    feed_stale = False
+    for n_try in (200_000_000, 50_000_000):
+        try:
+            with watchdog(600, f"feed-inclusive bench ({n_try // 10**6}M)"):
+                feed = _feed_chain_msamps(n=n_try)
+            feed_err = None
+            break
+        except Exception as e:
+            feed_err = f"{type(e).__name__}: {e}"
+            time.sleep(30)
+    if feed is None:
+        feed = _last_recorded_feed()
+        feed_stale = feed is not None
     try:
         with watchdog(300, "link bandwidth"):
             link_up, link_down = _link_mb_s()
@@ -192,8 +226,10 @@ def main() -> int:
         # legitimate source is the noaa_e2e artifact's realtime_factor)
         "frontend_realtime_factor_at_2048ksps": round(value / 2.048, 1),
     }
-    if feed is None:
+    if feed_err is not None:
         out["feed_error"] = feed_err
+    if feed_stale:
+        out["feed_inclusive_stale"] = True   # carried from a prior artifact
     print(json.dumps(out))
     return 0
 

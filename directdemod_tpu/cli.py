@@ -49,7 +49,8 @@ Decoder flags:
 \t-d afsk1200 : AFSK1200 decoder
 \t-d funcube : Funcube BPSK sync detector (--freqshift Doppler correction)
 \t-d meteor : Meteor QPSK sync detector
-\t--mesh=<n> : shard the NOAA decode over an n-device time mesh
+\t--mesh=<n> : shard the NOAA/PSK decode over an n-device time mesh
+\t--segments=<n> : segment-parallel PLL scan for funcube/meteor
 """)
 
 
@@ -60,7 +61,7 @@ def main(argv=None) -> int:
     try:
         optlist, args = getopt.getopt(
             argv, "c:f:s:e:ho:qn:b:d:r:a:",
-            ["help", "map", "tle=", "freqshift", "mesh="])
+            ["help", "map", "tle=", "freqshift", "mesh=", "segments="])
     except getopt.GetoptError as e:
         usage(str(e))
         return 1
@@ -80,6 +81,9 @@ def main(argv=None) -> int:
     if mesh_n > 1:
         from .parallel.mesh import make_mesh
         mesh = make_mesh(time=mesh_n, channel=1)
+    # --segments=<n>: segment-parallel PLL scan for the PSK decoders
+    # (funcube/meteor); combines with --mesh (one segment scan per device)
+    n_segments = next((int(v) for k, v in optlist if k == "--segments"), None)
 
     calc_sync = any(o == ("-s", "ync") for o in optlist)
     calc_image = not any(o == ("-n", "oimage") for o in optlist)
@@ -204,7 +208,8 @@ def main(argv=None) -> int:
                 from .models.funcube import FuncubeDecoder
                 dec = FuncubeDecoder(sigsrc, freq_offset, bandwidths[i],
                                      report.get("centreFreq"), freqs[i],
-                                     corr_freq_shift)
+                                     corr_freq_shift,
+                                     n_segments=n_segments, mesh=mesh)
                 syncs = dec.get_syncs()
                 logging.info("Complete: detected %d syncs", len(syncs))
                 csv_file = f"{stem}_f{i + 1}.csv" if outs[i] is None else outs[i] + ".csv"
@@ -215,7 +220,8 @@ def main(argv=None) -> int:
             elif decoders[i] == "meteor":
                 entry["filesCreated"] = []
                 from .models.meteorm2 import MeteorM2Decoder
-                dec = MeteorM2Decoder(sigsrc, freq_offset, bandwidths[i])
+                dec = MeteorM2Decoder(sigsrc, freq_offset, bandwidths[i],
+                                      n_segments=n_segments, mesh=mesh)
                 syncs = dec.get_syncs()
                 logging.info("Complete: detected %d syncs", len(syncs))
                 csv_file = f"{stem}_f{i + 1}.csv" if outs[i] is None else outs[i] + ".csv"

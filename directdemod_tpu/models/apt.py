@@ -88,20 +88,84 @@ def fill_syncs(csync, max_len) -> list:
 _SYNC_BITS = len(K.NOAA_SYNCA)          # 40: rows consumed by calibration
 
 
+def _pack_starts(starts) -> jnp.ndarray:
+    """Exact (hi, lo) float32 packing of line-start indices: a plain f32
+    start quantizes above 2^24 (~4.6 min of 60 kHz envelope), silently
+    misaligning lines on full passes. hi/lo are each < 2^24 for any
+    |start| < 2^36 (a 36 h capture)."""
+    s = np.asarray(starts, dtype=np.int64)
+    return jnp.asarray(np.stack([(s // 4096).astype(np.float32),
+                                 (s % 4096).astype(np.float32)]))
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
-def _lines_kernel(x, starts_f32, ln: int, num: int, unit: int):
+def _lines_kernel(x, starts_hl, ln: int, num: int, unit: int):
     """Gather `ln`-sample spans at `starts` from the device envelope,
     Fourier-resample to `num`, reshape (unit, k), and reduce: per-pixel
     median (the image row, ref decode_noaa.py:350-354) plus the first
     `_SYNC_BITS` rows (the calibration sync-train samples,
     ref decode_noaa.py:357-369). One dispatch per line-length group; only
-    the reduced outputs cross the link. Starts ride as exact-f32 ints
-    (< 2^24 for any crude-rate capture index)."""
-    starts = starts_f32.astype(jnp.int32)
+    the reduced outputs cross the link. Starts ride as exact (hi, lo) f32
+    pairs (see _pack_starts)."""
+    starts = (starts_hl[0].astype(jnp.int32) * 4096
+              + starts_hl[1].astype(jnp.int32))
     rows = jax.vmap(lambda s0: lax.dynamic_slice(x, (s0,), (ln,)))(starts)
     resz = rs.fft_resample(rows, num)
     mats = resz.reshape(rows.shape[0], unit, num // unit)
     return jnp.median(mats, axis=-1), mats[:, :_SYNC_BITS, :]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _probe_kernel(am, num_pixels: int):
+    """The whole-signal coarse median line feeding the initial contrast
+    (ref decode_noaa.py:309-313), reduced on device: (num_pixels,) out."""
+    k = am.shape[0] // num_pixels
+    return jnp.median(am[: k * num_pixels].reshape(num_pixels, k), axis=-1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _strip_medians_kernel(am, starts_hl, strip_len: int):
+    """Per-line telemetry-strip medians median(am[s : s+strip_len]) batched
+    on device (ref decode_noaa.py:371-373 reads the strip just before each
+    sync). One dispatch for all full-width strips."""
+    starts = (starts_hl[0].astype(jnp.int32) * 4096
+              + starts_hl[1].astype(jnp.int32))
+    rows = jax.vmap(lambda s0: lax.dynamic_slice(am, (s0,), (strip_len,)))(
+        starts)
+    return jnp.median(rows, axis=-1)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _head_kernel(am, size: int):
+    return am[:size]
+
+
+def _strip_medians(am, am_dev, sync_starts, strip_len: int) -> np.ndarray:
+    """np.median(am[max(s - strip_len, 0): s]) per line, 0.0 when s <= 0
+    (the host walk's per-line strip estimate). With a device-resident
+    envelope the full-width strips batch into ONE device reduce; the rare
+    capture-head strips (0 < s < strip_len) download one small head slice."""
+    starts = [int(s) for s in sync_starts]
+    out = np.zeros(len(starts))
+    if am is not None:
+        for i, s in enumerate(starts):
+            if s > 0:
+                out[i] = float(np.median(am[max(s - strip_len, 0): s]))
+        return out
+    full = [(i, s) for i, s in enumerate(starts) if s >= strip_len]
+    if full:
+        med = hostio.device_get(_strip_medians_kernel(
+            am_dev, _pack_starts([s - strip_len for _, s in full]),
+            strip_len))
+        for (i, _), m in zip(full, np.atleast_1d(med)):
+            out[i] = float(m)
+    short = [(i, s) for i, s in enumerate(starts) if 0 < s < strip_len]
+    if short:
+        head = hostio.device_get(
+            _head_kernel(am_dev, min(int(am_dev.shape[0]), strip_len)))
+        for i, s in short:
+            out[i] = float(np.median(head[:s]))
+    return out
 
 
 def _resample_lines_batched(am: np.ndarray, spans: list, unit: int,
@@ -128,10 +192,8 @@ def _resample_lines_batched(am: np.ndarray, spans: list, unit: int,
             continue
         num = k * unit
         if am_dev is not None:
-            starts = np.asarray([spans[li][0] for li in members],
-                                dtype=np.float32)
-            med, head = _lines_kernel(am_dev, jnp.asarray(starts),
-                                      ln, num, unit)
+            starts = _pack_starts([spans[li][0] for li in members])
+            med, head = _lines_kernel(am_dev, starts, ln, num, unit)
             med = hostio.device_get(med)
             head = hostio.device_get(head)
             for row, li in enumerate(members):
@@ -255,17 +317,23 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
     """Build the calibrated APT image from the AM envelope and filled syncs
     (ref decode_noaa.py:305-461). Returns (image, channel_id_a, channel_id_b).
 
-    `am_dev`: optional device-resident copy of `am`; line resample + median
-    reduce then run on device and only per-line reductions are downloaded.
+    `am_dev`: optional device-resident envelope; line resample + median
+    reduce, the contrast probe, and the telemetry-strip medians then run on
+    device and only per-line reductions are downloaded. With `am=None`
+    (the resident fast path) the full envelope never crosses the link.
     """
     num_pixels = int(0.5 / K.NOAA_T)           # 2080 px per full line
     half = int(num_pixels * 0.5)               # 1040 per channel
+    n_am = len(am) if am is not None else int(am_dev.shape[0])
 
     # initial contrast from a coarse whole-signal median line
     # (ref decode_noaa.py:309-313)
-    probe = am[: (len(am) // num_pixels) * num_pixels]
-    probe = probe.reshape(num_pixels, -1)
-    probe = np.median(probe, axis=-1)
+    if am is not None:
+        probe = am[: (n_am // num_pixels) * num_pixels]
+        probe = probe.reshape(num_pixels, -1)
+        probe = np.median(probe, axis=-1)
+    else:
+        probe = hostio.device_get(_probe_kernel(am_dev, num_pixels))
     low, high = np.percentile(probe, (0.5, 99.5))
 
     # per-line spans
@@ -277,7 +345,7 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
         eb = sb + int(0.25 * rate)
         if i + 1 < n_lines:
             eb = int(csync_a[i + 1])
-        if eb > len(am) or ea > len(am) or sa < 0 or sb < 0:
+        if eb > n_am or ea > n_am or sa < 0 or sb < 0:
             continue
         keep.append(i)
         spans_a.append((sa, ea))
@@ -288,6 +356,10 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
 
     calib = _Calib(low=float(low), high=float(high))
     strip_len = int(len(K.NOAA_SYNCA) * K.NOAA_T * rate)
+    strips_a = _strip_medians(am, am_dev, [s for (s, _) in spans_a],
+                              strip_len)
+    strips_b = _strip_medians(am, am_dev, [s for (s, _) in spans_b],
+                              strip_len)
 
     image: list = []
     backup: list = []
@@ -296,14 +368,11 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
 
     for li, i in enumerate(keep):
         (med_a, head_a), (med_b, _) = mats_a[li], mats_b[li]
-        sa, sb = spans_a[li][0], spans_b[li][0]
 
         if float(csync_a[i]) in ucset and head_a.shape[1] > 0:
             calib.update_from_sync_train(head_a)
 
-        strip_a = float(np.median(am[max(sa - strip_len, 0):sa])) if sa > 0 else 0.0
-        strip_b = float(np.median(am[max(sb - strip_len, 0):sb])) if sb > 0 else 0.0
-        calib.step_wedge(strip_a, strip_b)
+        calib.step_wedge(float(strips_a[li]), float(strips_b[li]))
 
         line = np.concatenate([med_a, med_b])
 

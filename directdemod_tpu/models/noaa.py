@@ -40,6 +40,12 @@ log = logging.getLogger(__name__)
 
 AM_BLOCK = 60000 * 4        # blockwise-Hilbert chunk (ref decode_noaa.py:647)
 
+# Largest capture the resident fast path runs as ONE fused dispatch: the
+# unpacked complex64 signal costs 4x the raw bytes and the conv adds ~3x
+# more transients, so 512 Msamples stays ~5 GB peak on a 16 GB-HBM v5e;
+# longer captures take the chunked feeder loop.
+_SINGLE_DISPATCH_MAX = 512_000_000
+
 
 class NoaaDecoder:
     """Decode NOAA APT from an IQ source.
@@ -82,12 +88,18 @@ class NoaaDecoder:
         out_rate = int(decim_rate / j2) if not strict else target_rate
 
         if (self.mesh is None and not strict and j2 == 1
+                and self.src.length <= _SINGLE_DISPATCH_MAX
                 and callable(getattr(self.src, "read_raw_device", None))):
             # device-resident capture: the strict=False chain is block-size
             # invariant, so run the fused DDC over the WHOLE capture in one
             # dispatch (raw bytes -> unpack -> conv -> FM inside one jit);
             # over the tunnel each dispatch costs ~0.3 s of RPC latency, so
-            # one launch beats the 20M-sample chunk loop outright
+            # one launch beats the 20M-sample chunk loop outright. Captures
+            # beyond _SINGLE_DISPATCH_MAX fall through to the BlockFeeder
+            # chunk loop below (which slices read_raw_device blocks on
+            # device): unpacking the whole capture at once materializes
+            # complex64 (4x the raw bytes) plus conv intermediates, and a
+            # multi-hour capture would OOM 16 GB of HBM.
             hist, c_prev = fe.init_state(self.dtype)
             n = self.src.length
             out_len = fe.block_out_len(0, n)
@@ -95,7 +107,8 @@ class NoaaDecoder:
                 raw = self.src.read_raw_device(0, n)
                 audio, _, _ = fe._step(raw, hist, c_prev, jnp.int32(0),
                                        out_len, True)
-            return audio, out_rate
+            return (audio if device_out
+                    else hostio.device_get(audio)), out_rate
 
         if self.mesh is not None and not strict and j2 == 1:
             # chunk-parallel front end over the mesh's time axis. Without a
@@ -223,7 +236,7 @@ class NoaaDecoder:
                 # density): exact unbounded fallback on the same cors row
                 log.warning("sync candidate slots bound (%d > %d); "
                             "falling back to exact extraction",
-                            total, idx.shape[-1])
+                            total, cap)
                 cand_i, cand_v = peaks.candidates_above(cors[row], thr[row])
             else:
                 keep = idx_np[row] >= 0
@@ -274,19 +287,22 @@ class NoaaDecoder:
                 env_dev = None
             else:
                 # bandpass filtfilt + blocked envelope fused into one
-                # dispatch; host copy feeds the strip/contrast walks, the
-                # device copy the batched line resample (apt._lines_kernel)
+                # dispatch; the envelope STAYS on device — the contrast
+                # probe, telemetry-strip medians, and line resamples all
+                # reduce on device (apt.assemble_image), so the image stage
+                # downloads per-line reductions, not the 14.6 MB envelope
                 env_dev = _filt_env_kernel(
                     jnp.asarray(audio, dtype=jnp.float32), bp, AM_BLOCK)
-                env = hostio.device_get(env_dev)
+                env = None
 
+            n_env = len(env) if env is not None else int(env_dev.shape[0])
             csync_a = np.asarray(self._sync_a, dtype=np.float64) \
                 / self._sync_rate * rate
             csync_b = np.asarray(self._sync_b, dtype=np.float64) \
                 / self._sync_rate * rate
             ucsync = csync_a.copy()
-            csync_a = apt.fill_syncs(csync_a, len(env))
-            csync_b = apt.fill_syncs(csync_b, len(env))
+            csync_a = apt.fill_syncs(csync_a, n_env)
+            csync_b = apt.fill_syncs(csync_b, n_env)
 
             # channel A first, pairwise (ref decode_noaa.py:294-303)
             if csync_b and csync_a and csync_b[0] < csync_a[0]:
@@ -424,9 +440,12 @@ def _filt_env_kernel(audio, bp, block: int):
 def _sync_cap(n: int) -> int:
     """In-kernel candidate slots per needle. Each sync peak raises a plateau
     of ~100 above-threshold samples (measured ~n/300 candidates on clean
-    captures), so n//16 leaves ~18x margin; the host still checks `counts`
-    and falls back to the exact unbounded path on overflow."""
-    return min(n, max(4096, n // 16))
+    captures), so n//64 leaves ~4x margin while keeping the packed download
+    ~1 MB at bench scale. Short/noisy captures overflow routinely (the
+    adaptive threshold collapses); the host checks `counts` and falls back
+    to the exact unbounded path then (regression-tested:
+    test_crude_sync_overflow_fallback)."""
+    return min(n, max(4096, n // 64))
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -439,7 +458,9 @@ def _crude_sync_kernel(audio, needles, block: int, k: int, wiggle: float,
     needs no count round-trip (each forced sync over the tunnel costs
     ~0.3 s of RPC latency and a fresh compile per dynamic size)."""
     env = am_ops.envelope_blocked(audio, block)
-    cors = corr_ops.norm_correlate_multi(env, needles)
+    # overlap-save batched form: one multi-million-point 1-D FFT is the slow
+    # shape on TPU (0.63 s at 3.6M on v5e vs 0.08 s blocked)
+    cors = corr_ops.norm_correlate_multi_blocked(env, needles)
     top = peaks.top_k_exact(cors, k)
     bot = -peaks.top_k_exact(-cors, k)
     avg_top = jnp.mean(top, axis=-1)

@@ -28,15 +28,88 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
+from jax import lax
+
 from ..constants import PROC_CHUNKSIZE
 from ..ops import correlate as corr_ops
 from ..ops import iir, nco, unpack
-from ..ops.pll import (PskParams, initial_state, symbol_scan,
-                       symbol_scan_segments)
+from ..ops.pll import (PskParams, initial_state, pack_symbol_outs,
+                       pack_symbol_outs_owned, symbol_scan,
+                       symbol_scan_segments, unpack_symbol_outs)
 from ..stream import plan as plan_mod
 from ..utils import hostio
 
 log = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _slice_fixed(arr, start, size: int):
+    return lax.dynamic_slice(arr, (start,), (size,))
+
+
+class _DeviceStream:
+    """A retained span [lo, hi) of the filtered stream kept ON DEVICE.
+
+    Pass 2 only ever reads the few correlation windows around detected
+    frames (~2x the needle length each); downloading the whole filtered
+    block per chunk (~160 MB of complex64 at 20 M samples) was the dominant
+    wall-clock term of the round-3 PSK path over the ~10-20 MB/s tunnel
+    link. Window reads slice on device and download KBs instead; slice
+    sizes round up to 4096-multiples so the jit cache holds a handful of
+    shapes, not one per window."""
+
+    def __init__(self, arr, lo: int):
+        self.arr = arr
+        self.lo = int(lo)
+
+    @property
+    def hi(self) -> int:
+        return self.lo + int(self.arr.shape[0])
+
+    def get(self, a: int, b: int) -> np.ndarray:
+        """Download stream[a:b] (global coordinates, [lo, hi)-clipped)."""
+        a = max(a, self.lo)
+        b = min(b, self.hi)
+        if b <= a:
+            return np.empty(0, dtype=np.complex64)
+        n = int(self.arr.shape[0])
+        size = min(n, -(-(b - a) // 4096) * 4096)
+        start = min(a - self.lo, n - size)
+        win = hostio.device_get(_slice_fixed(self.arr, jnp.int32(start),
+                                             size))
+        off = (a - self.lo) - start
+        return win[off: off + (b - a)]
+
+    def keep_tail(self, keep: int) -> "_DeviceStream":
+        n = int(self.arr.shape[0])
+        keep = min(keep, n)
+        return _DeviceStream(self.arr[n - keep:], self.lo + n - keep)
+
+    def extend(self, x, x_lo: int) -> "_DeviceStream":
+        if int(self.arr.shape[0]) == 0:
+            return _DeviceStream(x, x_lo)
+        return _DeviceStream(jnp.concatenate([self.arr, x]), self.lo)
+
+
+class _HostStream:
+    """_DeviceStream's surface over a plain numpy span (tests / host paths)."""
+
+    def __init__(self, arr: np.ndarray, lo: int):
+        self.arr = arr
+        self.lo = int(lo)
+
+    @property
+    def hi(self) -> int:
+        return self.lo + len(self.arr)
+
+    def get(self, a: int, b: int) -> np.ndarray:
+        a = max(a, self.lo)
+        b = min(b, self.hi)
+        if b <= a:
+            return np.empty(0, dtype=np.complex64)
+        return self.arr[a - self.lo: b - self.lo]
 
 
 def _lim(x: np.ndarray) -> np.ndarray:
@@ -120,9 +193,8 @@ class PskSyncDetector:
         chosens: list = []
         minsyncs: list = []       # (symbol_number(ctr), global_sample)
 
-        # stream retention for pass 2
-        tail = np.empty(0, dtype=np.complex64)
-        tail_start = 0            # global index of tail[0]
+        # stream retention for pass 2 (device-resident; see _DeviceStream)
+        tail = _DeviceStream(hostio.zeros((0,), jnp.complex64), 0)
         max_win = cfg.cap_entries // cfg.entries_per_sample \
             + cfg.cap_entries // cfg.entries_per_sample + 8
 
@@ -159,23 +231,26 @@ class PskSyncDetector:
                 outs, owned = symbol_scan_segments(
                     p, xw, sync_j, sync1_j, self.n_segments,
                     self.warmup_symbols, owned_start=prefix, mesh=self.mesh)
-                ow = hostio.device_get(owned)
-                seg_take = lambda arr: np.concatenate(
-                    [hostio.device_get(arr)[si][ow[si]]
-                     for si in range(self.n_segments)])
-                ai = seg_take(outs.a_idx) - prefix + s
-                ph = seg_take(outs.phase_out)
-                ch = seg_take(outs.chosen)
-                mf = seg_take(outs.minsync)
+                # ONE download for all segments' symbol streams
+                pk = hostio.device_get(pack_symbol_outs_owned(outs, owned))
+                _, ai_all, ph_all, ch_all, mf_all = unpack_symbol_outs(pk)
+                ow = pk[..., 6] > 0.5
+                seg_take = lambda col: np.concatenate(
+                    [col[si][ow[si]] for si in range(self.n_segments)])
+                ai = seg_take(ai_all) - prefix + s
+                ph = seg_take(ph_all)
+                ch = seg_take(ch_all)
+                mf = seg_take(mf_all)
                 filt_prefix = xw[-warm:]
             else:
                 scan_state, outs = symbol_scan(p, x, scan_state, sync_j,
                                                sync1_j)
-                valid = hostio.device_get(outs.valid)
-                ai = hostio.device_get(outs.a_idx)[valid] + s
-                ph = hostio.device_get(outs.phase_out)[valid]
-                ch = hostio.device_get(outs.chosen)[valid]
-                mf = hostio.device_get(outs.minsync)[valid]
+                pk = hostio.device_get(pack_symbol_outs(outs))
+                valid, ai_all, ph_all, ch_all, mf_all = unpack_symbol_outs(pk)
+                ai = ai_all[valid] + s
+                ph = ph_all[valid]
+                ch = ch_all[valid]
+                mf = mf_all[valid]
                 # rebase the carried anchor into the next block's coordinates
                 scan_state = scan_state._replace(
                     anchor=scan_state.anchor - jnp.int32(e - s))
@@ -186,17 +261,14 @@ class PskSyncDetector:
             for k in np.flatnonzero(mf):
                 minsyncs.append((base_ctr + k + 1, int(ai[k])))
 
-            # pass 2 incremental processing with available stream
-            xs = hostio.device_get(x)
-            stream = np.concatenate([tail, xs])
-            stream_start = tail_start
+            # pass 2 incremental processing with the available stream span
+            # (device-resident: only correlation windows cross the link)
+            stream = tail.extend(x, s)
             max_syncs = self._drain_corr_jobs(
-                minsyncs, a_idx, phases, chosens, stream, stream_start,
-                stream_start + len(stream), max_syncs,
+                minsyncs, a_idx, phases, chosens, stream, stream.lo,
+                stream.hi, max_syncs,
                 final=(ci == len(plan) - 1))
-            keep = min(len(stream), max_win)
-            tail = stream[-keep:]
-            tail_start = stream_start + len(stream) - keep
+            tail = stream.keep_tail(max_win)
 
         self._syncs = self._finalize(max_syncs)
         return self._syncs
@@ -222,7 +294,10 @@ class PskSyncDetector:
                          stream, lo, hi, max_syncs, final=False):
         """Advance the arming/countdown state machine over newly seen minsync
         events; run correlations whose countdown completes inside the
-        available stream [lo, hi)."""
+        available stream [lo, hi). `stream` is a _DeviceStream/_HostStream
+        (a raw numpy span is adapted for direct callers/tests)."""
+        if isinstance(stream, np.ndarray):
+            stream = _HostStream(stream, lo)
         cfg = self.cfg
         eps = cfg.entries_per_sample
         cap_samples = cfg.cap_entries // eps
@@ -282,7 +357,7 @@ class PskSyncDetector:
                 # it were contiguous -- reproduced verbatim.
                 fresh_ws = max(self._open["first"] + 1, lo)
                 vals = self._quantize_window(
-                    stream[fresh_ws - lo: we + 1 - lo], fresh_ws,
+                    stream.get(fresh_ws, we + 1), fresh_ws,
                     a_cat, ph_cat)
                 report_ws = fresh_ws
                 if self._stale is not None:
@@ -301,7 +376,7 @@ class PskSyncDetector:
                                  self._open["first"] + 1 - cap_samples)
                 ws = max(ws, lo)
                 vals = self._quantize_window(
-                    stream[ws - lo: we + 1 - lo], ws, a_cat, ph_cat)
+                    stream.get(ws, we + 1), ws, a_cat, ph_cat)
                 report_ws = ws
             needle_i = 0
             if len(cfg.needles) > 1:
@@ -343,7 +418,7 @@ class PskSyncDetector:
         self._stale = {
             "ws": ws,
             "vals": self._quantize_window(
-                stream[ws - lo: end_samp + 1 - lo], ws, a_cat, ph_cat)}
+                stream.get(ws, end_samp + 1), ws, a_cat, ph_cat)}
 
     def _quantize_window(self, seg: np.ndarray, ws: int, a_cat,
                          ph_cat) -> np.ndarray:

@@ -13,7 +13,9 @@ direct conv would waste MXU cycles at those lengths).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .fftutil import smooth_len as _fft_len
 
@@ -87,6 +89,53 @@ def norm_correlate_multi(haystack: jnp.ndarray,
     sums = moving_energy(haystack, k_len)
     energy = jnp.sum(needles * needles, axis=-1, keepdims=True)
     return cor / jnp.sqrt(sums[None, :] * energy)
+
+
+def _frames(x: jnp.ndarray, blk: int, halo_l: int, halo_r: int):
+    """Overlapping frames: row i covers x[i*blk - halo_l : i*blk + blk +
+    halo_r) with zero padding at both edges. Returns ((nb, blk+halo_l+halo_r),
+    nb)."""
+    n = x.shape[-1]
+    nb = -(-n // blk)
+    ep = jnp.pad(x, (halo_l, nb * blk - n + halo_r))
+    starts = jnp.arange(nb, dtype=jnp.int32) * blk
+    flen = blk + halo_l + halo_r
+    return jax.vmap(lambda i: lax.dynamic_slice(ep, (i,), (flen,)))(starts), nb
+
+
+def norm_correlate_multi_blocked(haystack: jnp.ndarray,
+                                 needles: jnp.ndarray,
+                                 blk: int = 1 << 17) -> jnp.ndarray:
+    """`norm_correlate_multi` via overlap-save: the haystack splits into
+    `blk`-wide frames with needle-length halos and every FFT runs BATCHED
+    over frames.
+
+    One multi-million-point 1-D FFT is the slow shape on TPU (measured
+    0.63 s at 3.6M on v5e); ~30 batched 135k-point FFTs computing the
+    identical correlation take 0.08 s. Energy frames share the correlation
+    frames (framing commutes with elementwise squaring), so the whole
+    normalized A+B correlation costs two batched rffts + one batched irfft."""
+    if jnp.iscomplexobj(haystack) or jnp.iscomplexobj(needles):
+        raise ValueError("norm_correlate_multi_blocked is real-only")
+    n = haystack.shape[-1]
+    L = needles.shape[-1]
+    if n <= 2 * blk:
+        return norm_correlate_multi(haystack, needles)
+    halo_l, halo_r = L // 2, (L - 1) // 2
+    frames, nb = _frames(haystack, blk, halo_l, halo_r)   # (nb, blk + L - 1)
+    m = _fft_len(blk + 2 * (L - 1))
+    X = jnp.fft.rfft(frames, n=m)
+    X2 = jnp.fft.rfft(frames * frames, n=m)
+    W = jnp.fft.rfft(needles[..., ::-1], n=m)             # (k, M)
+    Wo = jnp.fft.rfft(jnp.ones(L, dtype=haystack.dtype), n=m)
+    cor_f = jnp.fft.irfft(X[None, :, :] * W[:, None, :], n=m)
+    en_f = jnp.fft.irfft(X2 * Wo[None, :], n=m)
+    # frame-local correlate-'same' output for global p = i*blk + p' sits at
+    # conv_full(frame, w_rev)[p' + L - 1]
+    cor = cor_f[..., L - 1: L - 1 + blk].reshape(needles.shape[0], nb * blk)
+    sums = en_f[..., L - 1: L - 1 + blk].reshape(nb * blk)
+    energy = jnp.sum(needles * needles, axis=-1, keepdims=True)
+    return cor[:, :n] / jnp.sqrt(sums[None, :n] * energy)
 
 
 def apt_needle(sync_bits, samp_rate: float, t_bit: float,

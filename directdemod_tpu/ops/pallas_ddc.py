@@ -53,10 +53,13 @@ def _kernel(lr0_ref, lr1_ref, li0_ref, li1_ref, wr_ref, wi_ref, rot_ref,
         si = li[:, qq:qq + TILE]
         wr = wr_ref[qq:qq + 1, :]
         wi = wi_ref[qq:qq + 1, :]
-        cr = cr + jnp.dot(wr, sr, preferred_element_type=jnp.float32) \
-                - jnp.dot(wi, si, preferred_element_type=jnp.float32)
-        ci = ci + jnp.dot(wr, si, preferred_element_type=jnp.float32) \
-                + jnp.dot(wi, sr, preferred_element_type=jnp.float32)
+        # HIGHEST: the MXU's default bf16 passes lose ~8 mantissa bits,
+        # measured 0.137 rad audio error vs fp64 on hardware; f32-accurate
+        # (6-pass) matmul restores parity and the kernel stays HBM-bound
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        cr = cr + dot(wr, sr) - dot(wi, si)
+        ci = ci + dot(wr, si) + dot(wi, sr)
 
     prev_r = jnp.concatenate([carry_ref[0:1, 0:1], cr[:, :TILE - 1]], axis=1)
     prev_i = jnp.concatenate([carry_ref[0:1, 1:2], ci[:, :TILE - 1]], axis=1)
@@ -175,8 +178,10 @@ def _kernel_u8(b0_ref, b1_ref, u_ref, off_ref, rot_ref, cprev_ref,
 
     c = jnp.zeros((TILE, 2), dtype=jnp.float32)
     for qq in range(q):
+        # HIGHEST precision: see _kernel (bf16 default loses the byte LSBs)
         c = c + jnp.dot(b[qq:qq + TILE, :], u_ref[qq],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     cr = c[:, 0:1] - off_ref[0:1, 0:1]              # (TILE, 1)
     ci = c[:, 1:2] - off_ref[0:1, 1:2]
 

@@ -164,7 +164,14 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
     alternating-flipped QPSK ambiguity variant (pass `sync` again for BPSK).
     Events whose sample index falls beyond this block leave the state unchanged
     (they replay from the carried state in the next block).
-    """
+
+    One scan step processes BOTH events of a symbol (the mid-symbol B sample
+    and the decision A sample) back-to-back: B's only effect on A is the AGC
+    state and `g_b`, both threaded straight through inside the step, so
+    fusing halves the sequential length while staying bit-identical to the
+    reference's per-sample walk (ref decode_funcube.py:261-298). The scan is
+    unrolled 8x: each TPU while-loop trip carries a fixed overhead that would
+    otherwise dominate this scalar-recurrence-bound loop."""
     n = x.shape[0]
     T = p.symbol_period
     sync = jnp.asarray(sync, jnp.float32)
@@ -172,28 +179,39 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
     slen = sync.shape[0]
     half = slen / 2.0
 
-    n_events = 2 * (int(n / T) + 2)
+    n_events = int(n / T) + 3
 
     def push2(buf, v1, v2):
         return jnp.concatenate([buf[2:], jnp.stack([v1, v2])])
 
     def step(s: PskState, _):
-        is_b = s.stage == 0
-        # next event offset from the anchor
+        # B and A offsets are both functions of the SAME (anchor, timing):
+        # timing/anchor only advance at A events, so when this step starts at
+        # stage 0 both indices are known up front.
+        at_b = s.stage == 0
         m_b = jnp.ceil(T / 2.0 - s.timing).astype(jnp.int32)
         m_a = jnp.ceil(T - s.timing).astype(jnp.int32)
-        m = jnp.where(is_b, m_b, m_a)
-        idx = s.anchor + m
-        valid = idx < n
-        xi = lax.dynamic_slice(x, (jnp.clip(idx, 0, n - 1),), (1,))[0]
+        idx_b = s.anchor + m_b
+        idx_a = s.anchor + m_a
+        b_valid = at_b & (idx_b < n)
+        # starting at stage 0, A may only run when B ran (idx_a >= idx_b
+        # makes that implication automatic); starting at stage 1, B is a
+        # carried value from the previous block
+        a_valid = idx_a < n
+
+        xb = lax.dynamic_slice(x, (jnp.clip(idx_b, 0, n - 1),), (1,))[0]
+        xa = lax.dynamic_slice(x, (jnp.clip(idx_a, 0, n - 1),), (1,))[0]
 
         # ---- B event: AGC the mid-symbol sample
-        dc_b, mean_b, gb = _agc(p, s.agc_dc, s.agc_mean, xi)
+        dc_b, mean_b, gb_new = _agc(p, s.agc_dc, s.agc_mean, xb)
+        dc1 = jnp.where(b_valid, dc_b, s.agc_dc)
+        mean1 = jnp.where(b_valid, mean_b, s.agc_mean)
+        g_b = jnp.where(b_valid, gb_new, s.g_b)
 
         # ---- A event: AGC, Gardner update, PLL, minsync
-        dc_a, mean_a, ga = _agc(p, s.agc_dc, s.agc_mean, xi)
-        resync = (jnp.imag(ga) - jnp.imag(s.g_c)) * jnp.imag(s.g_b)
-        timing_a = s.timing + m.astype(jnp.float32) - T \
+        dc_a, mean_a, ga = _agc(p, dc1, mean1, xa)
+        resync = (jnp.imag(ga) - jnp.imag(s.g_c)) * jnp.imag(g_b)
+        timing_a = s.timing + m_a.astype(jnp.float32) - T \
             + resync * T / 2000000.0
         ph2, fr2, pm2, lk2, corrected = _costas(
             p, s.phase, s.freq, s.pll_mean, s.locked, ga)
@@ -229,41 +247,77 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
             chosen_a = s.chosen
         last_min_a = jnp.where(is_min, ctr_a, s.last_min)
 
-        # ---- merge: select B-event vs A-event updates, mask invalid
-        def sel(b_val, a_val, old):
-            picked = jnp.where(is_b, b_val, a_val)
-            return jnp.where(valid, picked, old)
+        def sel(a_val, old):
+            return jnp.where(a_valid, a_val, old)
 
         new = PskState(
-            stage=jnp.where(valid, jnp.where(is_b, 1, 0), s.stage),
-            anchor=jnp.where(valid & ~is_b, idx, s.anchor),
-            timing=jnp.where(valid & ~is_b, timing_a, s.timing),
-            g_b=jnp.where(valid & is_b, gb, s.g_b),
-            g_c=jnp.where(valid & ~is_b, ga, s.g_c),
-            agc_dc=sel(dc_b, dc_a, s.agc_dc),
-            agc_mean=sel(mean_b, mean_a, s.agc_mean),
-            phase=jnp.where(valid & ~is_b, ph2, s.phase),
-            freq=jnp.where(valid & ~is_b, fr2, s.freq),
-            pll_mean=jnp.where(valid & ~is_b, pm2, s.pll_mean),
-            locked=jnp.where(valid & ~is_b, lk2, s.locked),
-            ctr=jnp.where(valid & ~is_b, ctr_a, s.ctr),
-            last_min=jnp.where(valid & ~is_b, last_min_a, s.last_min),
-            buf=jnp.where(valid & ~is_b, buf_a, s.buf),
-            buf2=jnp.where(valid & ~is_b, buf2_a, s.buf2),
-            buf_fill=jnp.where(valid & ~is_b, fill_a, s.buf_fill),
-            chosen=jnp.where(valid & ~is_b, chosen_a, s.chosen),
+            # A ran -> next symbol starts at B; only B ran (or a carried
+            # stage-1 step hit the block end) -> A still pending
+            stage=jnp.where(a_valid, jnp.int32(0),
+                            jnp.where(b_valid | ~at_b, jnp.int32(1),
+                                      jnp.int32(0))),
+            anchor=sel(idx_a, s.anchor),
+            timing=sel(timing_a, s.timing),
+            g_b=g_b,
+            g_c=sel(ga, s.g_c),
+            agc_dc=sel(dc_a, dc1),
+            agc_mean=sel(mean_a, mean1),
+            phase=sel(ph2, s.phase),
+            freq=sel(fr2, s.freq),
+            pll_mean=sel(pm2, s.pll_mean),
+            locked=sel(lk2, s.locked),
+            ctr=sel(ctr_a, s.ctr),
+            last_min=sel(last_min_a, s.last_min),
+            buf=sel(buf_a, s.buf),
+            buf2=sel(buf2_a, s.buf2),
+            buf_fill=sel(fill_a, s.buf_fill),
+            chosen=sel(chosen_a, s.chosen),
         )
         out = SymbolOut(
-            valid=valid & ~is_b,
-            a_idx=idx,
+            valid=a_valid,
+            a_idx=idx_a,
             phase_out=s.phase,       # phasor in effect during this symbol
-            minsync=valid & ~is_b & is_min,
+            minsync=a_valid & is_min,
             chosen=chosen_a,
             corrected=corrected,
         )
         return new, out
 
-    return lax.scan(step, state, None, length=n_events)
+    return lax.scan(step, state, None, length=n_events, unroll=8)
+
+
+@jax.jit
+def pack_symbol_outs(outs: SymbolOut) -> jnp.ndarray:
+    """Pack the per-symbol output streams into ONE float32 tensor
+    (..., n_events, 6) = [valid, a_idx_hi, a_idx_lo, phase, chosen, minsync]
+    so the whole block's results cross the link in a single download
+    (five separate transfers — and the tunnel's per-transfer latency —
+    otherwise dominate short captures). a_idx rides as an exact (hi, lo)
+    f32 pair (see utils/hostio._pack_int)."""
+    hi = jnp.floor_divide(outs.a_idx, 4096).astype(jnp.float32)
+    lo = jnp.remainder(outs.a_idx, 4096).astype(jnp.float32)
+    return jnp.stack([outs.valid.astype(jnp.float32), hi, lo,
+                      outs.phase_out,
+                      outs.chosen.astype(jnp.float32),
+                      outs.minsync.astype(jnp.float32)], axis=-1)
+
+
+@jax.jit
+def pack_symbol_outs_owned(outs: SymbolOut, owned) -> jnp.ndarray:
+    """`pack_symbol_outs` plus the segment-ownership mask as column 6."""
+    base = pack_symbol_outs(outs)
+    return jnp.concatenate([base, owned.astype(jnp.float32)[..., None]],
+                           axis=-1)
+
+
+def unpack_symbol_outs(packed: np.ndarray):
+    """Host-side inverse of pack_symbol_outs: returns (valid, a_idx, phase,
+    chosen, minsync) numpy arrays (unfiltered; apply the valid mask)."""
+    valid = packed[..., 0] > 0.5
+    a_idx = (packed[..., 1].astype(np.int64) * 4096
+             + packed[..., 2].astype(np.int64))
+    return (valid, a_idx, packed[..., 3],
+            packed[..., 4].astype(np.int64), packed[..., 5] > 0.5)
 
 
 def segment_plan(n: int, n_segments: int, warmup_symbols: int,

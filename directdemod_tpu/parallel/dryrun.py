@@ -49,6 +49,19 @@ def _capture(n: int) -> np.ndarray:
 
 
 def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
+    import time as _time
+    stage_s = {}
+
+    class _stage:
+        def __init__(self, name):
+            self.name = name
+
+        def __enter__(self):
+            self.t0 = _time.perf_counter()
+
+        def __exit__(self, *exc):
+            stage_s[self.name] = round(_time.perf_counter() - self.t0, 3)
+
     channel = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     time = n_devices // channel
     mesh = make_mesh(time=time, channel=channel,
@@ -60,14 +73,16 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
     # -- 1. sequence-parallel front end (ppermute halo over `time`)
     fe = DdcFm(FS, 30000, taps, 60000, fm=True)
     ref, _ = fe.process(src, block_size=chunk_len)
-    got, _ = ShardedDdcFm(fe, mesh).process(src, block_size=chunk_len)
+    with _stage("frontend_sharded"):
+        got, _ = ShardedDdcFm(fe, mesh).process(src, block_size=chunk_len)
     err_fe = float(np.max(np.abs(got - ref)))
     assert got.shape == ref.shape and err_fe < 1e-3, err_fe
 
     # -- 2. channel-parallel front end (per-channel state over `channel`)
     freqs = tuple(30000.0 - 7000.0 * i for i in range(2 * channel))
     multi = MultiDdcFm(FS, freqs, taps, 60000, fm=True, mesh=mesh)
-    got_mc, _ = multi.process(src, block_size=chunk_len)
+    with _stage("multichannel"):
+        got_mc, _ = multi.process(src, block_size=chunk_len)
     ref_mc, _ = MultiDdcFm(FS, freqs, taps, 60000, fm=True).process(
         src, block_size=chunk_len)
     err_mc = float(np.max(np.abs(got_mc - ref_mc)))
@@ -86,9 +101,10 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
     seq = peaks_ops.find_sync_peaks(
         corr_ops.norm_correlate(jnp.asarray(env), jnp.asarray(needle)),
         rate, len(needle), K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
-    got_sync = sharded_find_sync_peaks(
-        mesh, env, np.asarray(needle), rate,
-        K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
+    with _stage("sync_search_sharded"):
+        got_sync = sharded_find_sync_peaks(
+            mesh, env, np.asarray(needle), rate,
+            K.NOAA_PEAKHEIGHTWIGGLE, K.NOAA_MINPEAKDIST)
     assert len(got_sync) == len(seq) and len(seq) > 0, (got_sync, seq)
 
     # -- 4. segment-parallel PLL scan sharded over `time`
@@ -97,8 +113,9 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
                   minsync_thresh=120.0)
     sync = np.zeros(33, np.float32)
     xs = jnp.asarray(x[:time * chunk_len])
-    outs, owned = symbol_scan_segments(p, xs, sync, sync, n_segments=time,
-                                       warmup_symbols=8, mesh=mesh)
+    with _stage("pll_segments_sharded"):
+        outs, owned = symbol_scan_segments(p, xs, sync, sync, n_segments=time,
+                                           warmup_symbols=8, mesh=mesh)
     n_owned = int(np.sum(np.asarray(owned)))
     assert n_owned > 0
 
@@ -110,13 +127,15 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
                                          kind="bandpass")
     audio = np.asarray(ref, np.float32)
     ref_bp = np.asarray(bp.zero_phase(jnp.asarray(audio)))
-    got_bp = sharded_zero_phase(mesh, bp, audio)
+    with _stage("image_filtfilt_sharded"):
+        got_bp = sharded_zero_phase(mesh, bp, audio)
     scale = float(np.max(np.abs(ref_bp))) or 1.0
     err_bp = float(np.max(np.abs(got_bp - ref_bp))) / scale
     assert err_bp < 1e-5, err_bp
     blk = len(audio) // (2 * time)
     ref_env = np.asarray(am_ops.envelope_blocked(jnp.asarray(audio), blk))
-    got_env = sharded_envelope_blocked(mesh, audio, blk)
+    with _stage("image_envelope_sharded"):
+        got_env = sharded_envelope_blocked(mesh, audio, blk)
     err_env = float(np.max(np.abs(got_env - ref_env)))
     assert err_env < 1e-4, err_env
 
@@ -128,6 +147,9 @@ def dryrun(n_devices: int, chunk_len: int = 8192) -> dict:
         "syncs": [int(v) for v in got_sync],
         "pll_owned_symbols": n_owned,
         "finite": bool(np.all(np.isfinite(got))),
+        # wall-clock per sharded stage (includes compile on a cold cache;
+        # the CPU mesh number is a plumbing check, not a perf claim)
+        "stage_seconds": stage_s,
     }
     assert out["finite"], "dry run produced non-finite output"
     return out

@@ -2,7 +2,14 @@
 """A/B the Pallas fused DDC+FM kernel against the XLA polyphase lowering on
 real TPU hardware: same device, same 20M-sample block, numerics + throughput.
 
-    python examples/bench_pallas_ab.py [--block N] [--iters K]
+    python examples/bench_pallas_ab.py [--block N]
+
+Timing method: over the axon tunnel `block_until_ready` is NOT a reliable
+barrier (measured: a 10x20M Pallas chain "finished" in 0.4 ms, far above the
+HBM roofline). Every timed region therefore ends with a device->host download
+of a scalar reduction of the final output — the download cannot complete
+before the chained compute does — and the per-iteration cost comes from the
+SLOPE between a short and a long chain, cancelling the fixed RPC latency.
 
 Prints one JSON line with both throughputs, the ratio, and the max absolute
 audio difference (the two backends compute the identical chain of
@@ -22,7 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--block", type=int, default=20_000_000)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--k1", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=16)
     ap.add_argument("--interpret", action="store_true",
                     help="interpret-mode kernel (CPU smoke test only)")
     args = ap.parse_args()
@@ -32,63 +40,79 @@ def main():
     from directdemod_tpu.models.frontend import DdcFm
     from directdemod_tpu.ops import design
     from directdemod_tpu.ops.pallas_ddc import ddc_fm_pallas, ddc_fm_pallas_u8
+    from directdemod_tpu.utils import hostio
 
     dev = jax.devices()[0]
     fs, off, bw = 2048000, 30000, 60000
     fe = DdcFm(fs, off, design.blackmanharris(151), bw, fm=True)
     rng = np.random.default_rng(0)
-    from directdemod_tpu.utils import hostio as _hostio
     block = args.block
-    x = _hostio.device_put((rng.standard_normal(block)
-                            + 1j * rng.standard_normal(block))
-                           .astype(np.complex64))
+    x = hostio.device_put((rng.standard_normal(block)
+                           + 1j * rng.standard_normal(block))
+                          .astype(np.complex64))
+
+    def slope_msps(chain, k1=args.k1, k2=args.k2):
+        """chain(k) runs k chained iterations and returns a scalar device
+        array; per-block seconds = slope between the two chain lengths,
+        each timed through a scalar download barrier."""
+        def timed(k):
+            t0 = time.perf_counter()
+            s = chain(k)
+            float(hostio.device_get(s))        # the barrier
+            return time.perf_counter() - t0
+        timed(1)                               # warm every jit shape
+        t1 = min(timed(k1) for _ in range(2))
+        t2 = min(timed(k2) for _ in range(2))
+        per_block = max((t2 - t1) / (k2 - k1), 1e-9)
+        return block / per_block / 1e6
 
     # ---- XLA polyphase path (the production lowering)
-    state = fe.init_state(jnp.complex64)
-    start = 0
-    for _ in range(3):
-        y_xla, state = fe.process_block(x, state, start)
-        start += block
-    y_xla.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        y_xla, state = fe.process_block(x, state, start)
-        start += block
-    y_xla.block_until_ready()
-    xla_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
+    state0 = fe.init_state(jnp.complex64)
+
+    def chain_xla(k):
+        state, start = state0, 0
+        y = None
+        for _ in range(k):
+            y, state = fe.process_block(x, state, start)
+            start += block
+        return jnp.sum(y)
+
+    xla_msps = slope_msps(chain_xla)
 
     # ---- Pallas kernel on the identical segment/taps/rotation
     # taps/rot stay HOST numpy: jit bakes closed-over numpy values into the
     # executable without a transfer, whereas a closed-over *device* complex
     # array must be downloaded at trace time (UNIMPLEMENTED over the tunnel)
-    from directdemod_tpu.utils import hostio
     stride = fe.stride
     out_len = block // stride
     taps_rev = np.asarray(fe.taps_mod[::-1], dtype=np.complex64)
     rot = np.complex64(fe.rot)
-    c_prev = hostio.zeros(1, jnp.complex64)
+    c_prev0 = hostio.zeros(1, jnp.complex64)
 
     run = jax.jit(lambda xx, cp: ddc_fm_pallas(
         xx, taps_rev, rot, cp, stride, out_len, args.interpret))
-    audio_p, c_last = run(x, c_prev)
-    audio_p.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        audio_p, c_last = run(x, c_last)
-    audio_p.block_until_ready()
-    pallas_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
+
+    def chain_pallas(k):
+        cp, audio = c_prev0, None
+        for _ in range(k):
+            audio, cp = run(x, cp)
+        return jnp.sum(audio)
+
+    pallas_msps = slope_msps(chain_pallas)
 
     # ---- raw-uint8 fused kernel: unpack+DDC+FM reading 2 B/sample from HBM
-    raw = jnp.asarray(rng.integers(0, 256, 2 * block).astype(np.uint8))
+    raw = hostio.device_put_u8(
+        rng.integers(0, 256, 2 * block).astype(np.uint8))
     run_u8 = jax.jit(lambda rr, cp: ddc_fm_pallas_u8(
         rr, taps_rev, rot, cp, stride, out_len, args.interpret))
-    audio_u, c_u = run_u8(raw, c_prev)
-    audio_u.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        audio_u, c_u = run_u8(raw, c_u)
-    audio_u.block_until_ready()
-    u8_msps = block * args.iters / (time.perf_counter() - t0) / 1e6
+
+    def chain_u8(k):
+        cp, audio = c_prev0, None
+        for _ in range(k):
+            audio, cp = run_u8(raw, cp)
+        return jnp.sum(audio)
+
+    u8_msps = slope_msps(chain_u8)
 
     # ---- numerics: compiled kernel vs the direct fp64 dot-product reference
     # on a short segment (the alignment contract of tests/test_pallas.py, here
@@ -109,19 +133,22 @@ def main():
     audio_small, _ = run_small(
         hostio.device_put(xs, dtype=jnp.complex64),
         hostio.device_put(np.asarray([1.0 + 0j]), dtype=jnp.complex64))
-    maxdiff = float(np.max(np.abs(np.asarray(audio_small) - ref)))
+    maxdiff = float(np.max(np.abs(
+        hostio.device_get(audio_small) - ref)))
 
     print(json.dumps({
         "metric": "pallas_vs_xla_ddc_fm",
         "unit": "Msamples/s/chip",
         "device": dev.device_kind,
         "block": block,
+        "timing": "slope between %d- and %d-block chains, download barrier"
+                  % (args.k1, args.k2),
         "xla_msamples_per_s": round(xla_msps, 1),
         "pallas_msamples_per_s": round(pallas_msps, 1),
         "pallas_over_xla": round(pallas_msps / xla_msps, 3),
         "pallas_u8_msamples_per_s": round(u8_msps, 1),
         "pallas_u8_over_xla": round(u8_msps / xla_msps, 3),
-        "max_abs_audio_diff_steady": maxdiff,
+        "max_abs_audio_diff_vs_fp64": maxdiff,
     }))
 
 

@@ -97,3 +97,34 @@ def test_cli_noise_only_capture(tmp_path):
     ch = json.load(open(report))["channels"][0]
     assert ch["usefulness"] == 0
     assert not os.path.exists(out + ".png")
+
+
+def test_cli_funcube_segments(tmp_path):
+    """--segments reaches the PSK decoder: segment-parallel funcube decode
+    from the CLI produces the same sync as the sequential decoder API."""
+    from directdemod_tpu import constants as K
+    from directdemod_tpu.io.sources import ArraySource
+    from directdemod_tpu.models.funcube import FuncubeDecoder
+    from tests.test_psk_sync import _bpsk_capture
+    spacing = K.FUNCUBE_FRAME_SPACING_S
+    cap = _bpsk_capture([2.0, 2.0 + spacing], dur_s=2.0 + spacing + 1.2)
+    seq = FuncubeDecoder(ArraySource(cap, FS), 5000)
+    syncs_seq = seq.get_syncs()
+    assert len(syncs_seq) == 1
+
+    path = str(tmp_path / "SDRSharp_20170830_073907Z_145940000Hz_IQ.dat")
+    u8 = np.empty(2 * len(cap), np.uint8)
+    u8[0::2] = np.clip(np.round(cap.real + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(cap.imag + 127.5), 0, 255).astype(np.uint8)
+    u8.tofile(path)
+    out = str(tmp_path / "fc")
+    report = str(tmp_path / "r.json")
+    rc = cli.main(["-c", "145940000", "-f", "145945000", "-d", "funcube",
+                   "--segments", "4", "-o", out, "-r", report, path])
+    assert rc == 0
+    ch = json.load(open(report))["channels"][0]
+    assert ch["usefulness"] == 1
+    rows = open(out + ".csv").read().strip().splitlines()
+    assert len(rows) == 2                      # header + one sync
+    got = float(rows[1].split(",")[0])
+    assert abs(got - syncs_seq[0]) < 0.01 * FS

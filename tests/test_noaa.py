@@ -96,3 +96,19 @@ def test_fill_syncs_degenerate_inputs(csync):
     img, ida, idb = apt.assemble_image(
         env, 4160, out, [c + 1040 for c in out], np.asarray(out))
     assert img.ndim == 2
+
+
+def test_crude_sync_overflow_fallback(decoded, monkeypatch):
+    """When candidate count exceeds the in-kernel slot cap, _crude_sync_fused
+    must fall back to exact unbounded extraction and produce identical syncs
+    (regression: round 3 shipped a NameError on this path, noaa.py:226)."""
+    from directdemod_tpu.models import noaa as noaa_mod
+    dec, _ = decoded
+    sa_ref, sb_ref = dec.get_crude_sync()
+
+    monkeypatch.setattr(noaa_mod, "_sync_cap", lambda n: 8)  # force overflow
+    iq, _ = synthesize(n_lines=12, snr_db=20)
+    dec2 = NoaaDecoder(ArraySource(iq, FS), 30000, dtype=jnp.complex64)
+    sa, sb = dec2.get_crude_sync()
+    assert np.array_equal(sa, sa_ref)
+    assert np.array_equal(sb, sb_ref)

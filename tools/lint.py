@@ -76,102 +76,145 @@ class Visitor(ast.NodeVisitor):
         self.generic_visit(node)
 
 
-class Bindings(ast.NodeVisitor):
-    """Collect every name bound anywhere in the module (flat, scope-blind)."""
+_SCOPE_NODES = (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda,
+                ast.ClassDef)
+
+
+def _arg_names(args: ast.arguments) -> list[str]:
+    return [a.arg for a in (args.posonlyargs + args.args + args.kwonlyargs
+                            + ([args.vararg] if args.vararg else [])
+                            + ([args.kwarg] if args.kwarg else []))]
+
+
+def _local_bindings(body_nodes) -> set[str]:
+    """Names bound directly in a scope given its body statements: every
+    Store/Del target, def/class name, import, except/match capture, and
+    comprehension target — WITHOUT descending into nested function/class
+    bodies (those bind in their own scope). Flow-insensitive: a name bound
+    anywhere in the scope counts as bound throughout (no use-before-def
+    detection — byte-compile + tests cover that), which keeps this pass
+    false-positive-free."""
+    bound: set[str] = set()
+
+    def walk(node):
+        if isinstance(node, ast.Name):
+            if isinstance(node.ctx, (ast.Store, ast.Del)):
+                bound.add(node.id)
+            return
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            bound.add(node.name)
+            for d in node.decorator_list:
+                walk(d)
+            return                        # body binds in the nested scope
+        if isinstance(node, ast.Lambda):
+            return
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                bound.add((a.asname or a.name).split(".")[0])
+            return
+        if isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                if a.name != "*":
+                    bound.add(a.asname or a.name)
+            return
+        if isinstance(node, ast.ExceptHandler) and node.name:
+            bound.add(node.name)
+        if isinstance(node, (ast.Global, ast.Nonlocal)):
+            bound.update(node.names)
+            return
+        if isinstance(node, ast.MatchAs) and node.name:
+            bound.add(node.name)
+        if isinstance(node, ast.MatchStar) and node.name:
+            bound.add(node.name)
+        if isinstance(node, ast.MatchMapping) and node.rest:
+            bound.add(node.rest)
+        # comprehension targets formally live in their own scope, but
+        # treating them as enclosing-scope bindings only loosens the check
+        for child in ast.iter_child_nodes(node):
+            walk(child)
+
+    for n in body_nodes:
+        walk(n)
+    return bound
+
+
+class ScopedUndefined:
+    """pyflakes-style F821: resolve every loaded name against its scope
+    chain (function locals -> enclosing functions -> module -> builtins).
+    This is the check that would have caught rounds 1-3's NameErrors-in-
+    fallback-paths: a name bound only inside ANOTHER function no longer
+    satisfies a load here. Annotation subtrees are skipped (string/forward
+    annotations are never evaluated under `from __future__ import
+    annotations`)."""
 
     def __init__(self):
-        self.bound: set[str] = set()
-
-    def visit_Name(self, node):
-        if isinstance(node.ctx, (ast.Store, ast.Del)):
-            self.bound.add(node.id)
-
-    def visit_FunctionDef(self, node):
-        self.bound.add(node.name)
-        a = node.args
-        for arg in (a.posonlyargs + a.args + a.kwonlyargs
-                    + ([a.vararg] if a.vararg else [])
-                    + ([a.kwarg] if a.kwarg else [])):
-            self.bound.add(arg.arg)
-        self.generic_visit(node)
-
-    visit_AsyncFunctionDef = visit_FunctionDef
-
-    def visit_Lambda(self, node):
-        a = node.args
-        for arg in (a.posonlyargs + a.args + a.kwonlyargs
-                    + ([a.vararg] if a.vararg else [])
-                    + ([a.kwarg] if a.kwarg else [])):
-            self.bound.add(arg.arg)
-        self.generic_visit(node)
-
-    def visit_ClassDef(self, node):
-        self.bound.add(node.name)
-        self.generic_visit(node)
-
-    def visit_Import(self, node):
-        for a in node.names:
-            self.bound.add((a.asname or a.name).split(".")[0])
-
-    def visit_ImportFrom(self, node):
-        for a in node.names:
-            if a.name != "*":
-                self.bound.add(a.asname or a.name)
-
-    def visit_ExceptHandler(self, node):
-        if node.name:
-            self.bound.add(node.name)
-        self.generic_visit(node)
-
-    def visit_Global(self, node):
-        self.bound.update(node.names)
-
-    visit_Nonlocal = visit_Global
-
-    def visit_MatchAs(self, node):
-        if node.name:
-            self.bound.add(node.name)
-        self.generic_visit(node)
-
-    def visit_MatchStar(self, node):
-        if node.name:
-            self.bound.add(node.name)
-
-    def visit_MatchMapping(self, node):
-        if node.rest:
-            self.bound.add(node.rest)
-        self.generic_visit(node)
-
-
-class Loads(ast.NodeVisitor):
-    """Collect loaded names outside annotation position (with lineno)."""
-
-    def __init__(self):
-        self.loads: list[tuple[str, int]] = []
+        self.problems: list[tuple[int, str]] = []
         self.has_star_import = False
 
-    def visit_Name(self, node):
-        if isinstance(node.ctx, ast.Load):
-            self.loads.append((node.id, node.lineno))
+    def check_module(self, tree: ast.Module):
+        for n in ast.walk(tree):
+            if isinstance(n, ast.ImportFrom) and any(
+                    a.name == "*" for a in n.names):
+                self.has_star_import = True
+                return
+        self._check_body(tree.body, [_local_bindings(tree.body)])
 
-    def visit_ImportFrom(self, node):
-        if any(a.name == "*" for a in node.names):
-            self.has_star_import = True
+    def _check_body(self, body, chain):
+        for stmt in body:
+            self._visit(stmt, chain)
 
-    def _skip_annotations(self, node):
+    def _visit(self, node, chain):
+        if isinstance(node, ast.Name):
+            if isinstance(node.ctx, ast.Load):
+                name = node.id
+                if (name not in _BUILTIN_NAMES
+                        and not any(name in s for s in chain)):
+                    self.problems.append(
+                        (node.lineno, f"undefined name '{name}'"))
+            return
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for d in node.decorator_list:
+                self._visit(d, chain)
+            for default in node.args.defaults + [
+                    d for d in node.args.kw_defaults if d is not None]:
+                self._visit(default, chain)
+            local = _local_bindings(node.body) | set(_arg_names(node.args))
+            self._check_body(node.body, [local] + chain)
+            return
+        if isinstance(node, ast.Lambda):
+            for default in node.args.defaults + [
+                    d for d in node.args.kw_defaults if d is not None]:
+                self._visit(default, chain)
+            local = (set(_arg_names(node.args))
+                     | _local_bindings([node.body]))
+            self._visit(node.body, [local] + chain)
+            return
+        if isinstance(node, ast.ClassDef):
+            for d in node.decorator_list:
+                self._visit(d, chain)
+            for b in node.bases + node.keywords:
+                self._visit(b, chain)
+            # class scope IS visible to loads directly in the class body;
+            # it is NOT visible inside methods — but methods get the class
+            # body's bindings dropped because we push a fresh chain entry
+            # only for the class body itself
+            local = _local_bindings(node.body)
+            self._check_body(node.body, [local] + chain)
+            return
+        if isinstance(node, (ast.GeneratorExp, ast.ListComp, ast.SetComp,
+                             ast.DictComp)):
+            # comprehension targets already live in the enclosing binding
+            # set (see _local_bindings); just recurse
+            for child in ast.iter_child_nodes(node):
+                self._visit(child, chain)
+            return
+        returns = getattr(node, "returns", None)
+        annotation = getattr(node, "annotation", None)
         for child in ast.iter_child_nodes(node):
-            if child is getattr(node, "returns", None):
-                continue
-            if child is getattr(node, "annotation", None):
-                continue
-            self.visit(child)
-
-    def visit_FunctionDef(self, node):
-        self._skip_annotations(node)
-
-    visit_AsyncFunctionDef = visit_FunctionDef
-    visit_AnnAssign = _skip_annotations
-    visit_arg = _skip_annotations
+            if child is returns or child is annotation:
+                continue               # annotations never evaluate
+            self._visit(child, chain)
 
 
 def lint_file(path: pathlib.Path) -> list[str]:
@@ -198,21 +241,16 @@ def lint_file(path: pathlib.Path) -> list[str]:
         if "noqa" in line:
             continue
         errs.append(f"{path}:{lineno}: {msg}")
-    # undefined names (flat scope; skipped entirely under `from x import *`)
-    b = Bindings()
-    b.visit(tree)
-    ld = Loads()
-    ld.visit(tree)
-    if not ld.has_star_import:
-        seen = set()
-        for name, lineno in ld.loads:
-            if name in b.bound or name in _BUILTIN_NAMES or name in seen:
-                continue
-            line = lines[lineno - 1] if lineno <= len(lines) else ""
-            if "noqa" in line:
-                continue
-            seen.add(name)
-            errs.append(f"{path}:{lineno}: undefined name '{name}'")
+    # undefined names (scope-aware; skipped entirely under `from x import *`)
+    sc = ScopedUndefined()
+    sc.check_module(tree)
+    seen = set()
+    for lineno, msg in sc.problems:
+        line = lines[lineno - 1] if lineno <= len(lines) else ""
+        if "noqa" in line or (lineno, msg) in seen:
+            continue
+        seen.add((lineno, msg))
+        errs.append(f"{path}:{lineno}: {msg}")
     return errs
 
 
