@@ -112,45 +112,90 @@ class DdcFm:
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
                 dtype=jnp.complex64, raw: bool | str = "auto",
-                backend: str = "xla", pallas_interpret: bool = False):
+                backend: str = "auto", pallas_interpret: bool = False):
         """Full chunked run with a double-buffered host feed; returns
         (output ndarray, out_rate). `raw='auto'` feeds raw uint8 bytes and
         unpacks on device when the source supports it (4x less link traffic).
 
-        `backend='pallas_u8'` runs the fused unpack+DDC+FM Pallas kernel
-        (ops/pallas_ddc.ddc_fm_pallas_u8) on raw-byte blocks: 2 B/sample of
-        HBM read instead of the XLA path's complex64 intermediates. The
-        first block goes through the XLA step regardless (its all-ones
-        warmup history is not byte-representable); later blocks carry the
-        previous block's tail BYTES as the conv history. Requires fm=True
-        and a raw-capable source; silently falls back to XLA otherwise."""
+        `backend` picks the steady-state block kernel — see DdcFmStream."""
         from ..io.feeder import BlockFeeder
-        state = self.init_state(dtype)
+        stream = DdcFmStream(self, dtype=dtype, backend=backend,
+                             interpret=pallas_interpret)
         outs = []
-        use_pallas = backend == "pallas_u8" and self.fm
-        raw_hist = None              # device u8 tail, 2*(K-1) bytes
-        k = len(self.taps_mod)
         with BlockFeeder(source, block_size, dtype=dtype, raw=raw) as feeder:
             for (s, e, x) in feeder:
-                if use_pallas and x.dtype == jnp.uint8 and s > 0 \
-                        and raw_hist is not None:
-                    n = int(x.shape[0]) // 2
-                    off = rs.decim_phase(s, self.stride)
-                    out_len = rs.decim_count(n, off, self.stride)
-                    y, c_last = _pallas_u8_block(
-                        jnp.concatenate([raw_hist, x]),
-                        hostio.device_put(self.taps_mod[::-1],
-                                          dtype=jnp.complex64),
-                        hostio.device_put(self.rot, dtype=jnp.complex64),
-                        state[1].astype(jnp.complex64), jnp.int32(off),
-                        self.stride, out_len, pallas_interpret)
-                    state = (state[0], c_last.astype(dtype))
-                else:
-                    y, state = self.process_block(x, state, s)
-                if use_pallas and x.dtype == jnp.uint8:
-                    raw_hist = x[-2 * (k - 1):]
-                outs.append(hostio.device_get(y))
+                outs.append(hostio.device_get(stream.step(x, s)))
         return np.concatenate(outs), self.out_rate
+
+
+class DdcFmStream:
+    """Streaming front-end driver choosing the fastest kernel per block.
+
+    Block 0 (and any non-raw block) runs the XLA `DdcFm._step`; steady-state
+    raw-uint8 blocks run the fused unpack+DDC+FM Pallas kernel
+    (ops/pallas_ddc.ddc_fm_pallas_u8), which reads 2 B/sample from HBM and
+    measured 6.6x the XLA polyphase lowering on v5e (BENCH_PALLAS_r04).
+
+    backend='auto' selects Pallas on the TPU backend when `fm` is set and
+    the stream feeds raw bytes; 'xla' forces the polyphase path;
+    'pallas_u8' forces the Pallas kernel (interpret=True for CPU tests).
+    The first block always takes XLA: its warmup history is the virtual
+    all-ones NCO stream (DdcFm.hist0), which is not byte-representable.
+    Cross-backend state stays consistent — the conv history for a raw
+    stream is derivable from the carried tail BYTES, so an XLA fallback
+    mid-stream (e.g. a source that stops yielding raw) stays exact."""
+
+    def __init__(self, fe: "DdcFm", dtype=jnp.complex64,
+                 backend: str = "auto", interpret: bool = False):
+        import jax as _jax
+        if backend == "auto":
+            backend = ("pallas_u8"
+                       if fe.fm and _jax.default_backend() == "tpu"
+                       else "xla")
+        self.fe = fe
+        self.dtype = dtype
+        self.backend = backend
+        self.interpret = interpret
+        self.state = fe.init_state(dtype)
+        self.raw_hist = None          # device u8 tail, 2*(K-1) bytes
+        self._taps_rev = None
+
+    def _pallas_consts(self):
+        if self._taps_rev is None:
+            self._taps_rev = hostio.device_put(
+                self.fe.taps_mod[::-1], dtype=jnp.complex64)
+            self._rot = hostio.device_put(self.fe.rot, dtype=jnp.complex64)
+        return self._taps_rev, self._rot
+
+    def step(self, x, s: int):
+        """One block (device array, complex or raw u8) at global sample
+        index `s`; returns the device audio/output block."""
+        fe = self.fe
+        k = len(fe.taps_mod)
+        is_u8 = x.dtype == jnp.uint8
+        if (self.backend == "pallas_u8" and is_u8 and s > 0
+                and self.raw_hist is not None):
+            n = int(x.shape[0]) // 2
+            off = rs.decim_phase(s, fe.stride)
+            out_len = rs.decim_count(n, off, fe.stride)
+            taps_rev, rot = self._pallas_consts()
+            y, c_last = _pallas_u8_block(
+                jnp.concatenate([self.raw_hist, x]), taps_rev, rot,
+                self.state[1].astype(jnp.complex64), jnp.int32(off),
+                fe.stride, out_len, self.interpret)
+            # complex history stays derivable from raw_hist (see class doc);
+            # refresh it so a later XLA block picks up exact state
+            hist = unpack.iq_u8_to_complex(
+                jnp.concatenate([self.raw_hist, x])[-2 * (k - 1):],
+                jnp.float32).astype(self.dtype)
+            self.state = (hist, c_last.astype(self.dtype))
+        else:
+            y, self.state = fe.process_block(x, self.state, s)
+        if is_u8:
+            self.raw_hist = x[-2 * (k - 1):]
+        else:
+            self.raw_hist = None
+        return y
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7))

@@ -40,12 +40,6 @@ log = logging.getLogger(__name__)
 
 AM_BLOCK = 60000 * 4        # blockwise-Hilbert chunk (ref decode_noaa.py:647)
 
-# Largest capture the resident fast path runs as ONE fused dispatch: the
-# unpacked complex64 signal costs 4x the raw bytes and the conv adds ~3x
-# more transients, so 512 Msamples stays ~5 GB peak on a 16 GB-HBM v5e;
-# longer captures take the chunked feeder loop.
-_SINGLE_DISPATCH_MAX = 512_000_000
-
 
 class NoaaDecoder:
     """Decode NOAA APT from an IQ source.
@@ -87,29 +81,6 @@ class NoaaDecoder:
         j2 = int(decim_rate // target_rate) if not strict else 1
         out_rate = int(decim_rate / j2) if not strict else target_rate
 
-        if (self.mesh is None and not strict and j2 == 1
-                and self.src.length <= _SINGLE_DISPATCH_MAX
-                and callable(getattr(self.src, "read_raw_device", None))):
-            # device-resident capture: the strict=False chain is block-size
-            # invariant, so run the fused DDC over the WHOLE capture in one
-            # dispatch (raw bytes -> unpack -> conv -> FM inside one jit);
-            # over the tunnel each dispatch costs ~0.3 s of RPC latency, so
-            # one launch beats the 20M-sample chunk loop outright. Captures
-            # beyond _SINGLE_DISPATCH_MAX fall through to the BlockFeeder
-            # chunk loop below (which slices read_raw_device blocks on
-            # device): unpacking the whole capture at once materializes
-            # complex64 (4x the raw bytes) plus conv intermediates, and a
-            # multi-hour capture would OOM 16 GB of HBM.
-            hist, c_prev = fe.init_state(self.dtype)
-            n = self.src.length
-            out_len = fe.block_out_len(0, n)
-            with self.profiler.stage("fm_frontend", n):
-                raw = self.src.read_raw_device(0, n)
-                audio, _, _ = fe._step(raw, hist, c_prev, jnp.int32(0),
-                                       out_len, True)
-            return (audio if device_out
-                    else hostio.device_get(audio)), out_rate
-
         if self.mesh is not None and not strict and j2 == 1:
             # chunk-parallel front end over the mesh's time axis. Without a
             # strict resample the chain is block-size-invariant (all carries
@@ -123,15 +94,23 @@ class NoaaDecoder:
                     self.src, blk, dtype=self.dtype)
             return audio, out_rate
 
+        # blocked loop for file-fed AND device-resident sources alike: the
+        # feeder slices `read_raw_device` captures on device (no link
+        # traffic), and DdcFmStream runs steady-state raw blocks through the
+        # fused Pallas u8 kernel (6.6x the XLA polyphase on v5e). One code
+        # path for both keeps the two modes bit-identical, and chunking
+        # bounds HBM (a whole-capture dispatch would OOM multi-hour
+        # captures: complex64 is 4x the raw bytes before conv transients).
         from ..io.feeder import BlockFeeder
-        state = fe.init_state(self.dtype)
+        from .frontend import DdcFmStream
+        stream = DdcFmStream(fe, dtype=self.dtype)
         outs = []
         off2 = 0
         with BlockFeeder(self.src, K.PROC_CHUNKSIZE, dtype=self.dtype,
                          raw="auto") as feeder:
             for (s, e, x) in feeder:
                 with self.profiler.stage("fm_frontend", e - s):
-                    y, state = fe.process_block(x, state, s)
+                    y = stream.step(x, s)
                 if strict:
                     num = int(target_rate * y.shape[0] / decim_rate)
                     y = rs.fft_resample(y, num)
@@ -392,18 +371,26 @@ class NoaaDecoder:
                     env, cor = _accurate_windows_sharded(
                         self.mesh, batch, nj, (self.offset, float(fs)),
                         use_norm_correlate)
-                    env_rows.append(np.asarray(env)[:nw])
-                    cor_rows.append(np.asarray(cor)[:nw])
+                    env_rows.append(hostio.global_get(env)[:nw])
+                    cor_rows.append(hostio.global_get(cor)[:nw])
             else:
-                # group-batched so arbitrarily long captures stay within HBM
+                # group-batched so arbitrarily long captures stay within HBM;
+                # ragged last groups pad up to a power-of-two row count so
+                # the jit cache holds O(log) shapes, not one per capture
+                # length (shape audit, round 4)
                 for g0 in range(0, len(wins), 64):
-                    batch = hostio.device_put(np.stack(wins[g0:g0 + 64]),
-                                              dtype=self.dtype)
+                    rows = np.stack(wins[g0:g0 + 64])
+                    nw = rows.shape[0]
+                    bucket = 1 << (nw - 1).bit_length()
+                    if bucket > nw:     # repeated rows, dropped after
+                        rows = np.concatenate(
+                            [rows, np.repeat(rows[:1], bucket - nw, 0)])
+                    batch = hostio.device_put(rows, dtype=self.dtype)
                     env, cor = _accurate_windows_batch(
                         batch, nj, (self.offset, float(fs)),
                         use_norm_correlate)
-                    env_rows.append(np.asarray(env))
-                    cor_rows.append(np.asarray(cor))
+                    env_rows.append(np.asarray(env)[:nw])
+                    cor_rows.append(np.asarray(cor)[:nw])
             env_np = np.concatenate(env_rows)
             cor_np = np.concatenate(cor_rows)
 

@@ -44,7 +44,7 @@ def sharded_envelope_blocked(mesh, x: np.ndarray, block: int) -> np.ndarray:
             rows = np.concatenate([rows, np.repeat(rows[:1], pad_rows, 0)])
         blocks = hostio.device_put(
             rows, sharding=NamedSharding(mesh, P("time", None)))
-        env = np.asarray(_sharded_envelope(mesh, blocks))
+        env = hostio.global_get(_sharded_envelope(mesh, blocks))
         out.append(env[:nfull].reshape(-1))
     rem = n - nfull * block
     if rem:

@@ -20,6 +20,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import correlate as corr_ops
+from ..utils import hostio
 
 log = logging.getLogger(__name__)
 
@@ -72,18 +73,18 @@ def sharded_find_sync_peaks(mesh, x: np.ndarray, needle: np.ndarray,
     n = len(x)
     per = -(-n // ndev)
     xp = np.pad(np.asarray(x, np.float32), (0, per * ndev - n))
-    xs = jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P("time")))
+    xs = jax.device_put(xp, NamedSharding(mesh, P("time")))
     k_top = int(2 * (n / samp_rate)) + 2
     cor_sh, g_top, g_bot = _sharded_corr(
         mesh, xs, jnp.asarray(needle, jnp.float32), k_top)
     # threshold from the globally-gathered extremes (same formula as
     # ops/peaks.adaptive_threshold)
-    g_top = np.asarray(g_top)[0]
-    g_bot = np.asarray(g_bot)[0]
+    g_top = hostio.global_get(g_top)[0]
+    g_bot = hostio.global_get(g_bot)[0]
     avg_top = float(np.sum(g_top) / k_top)
     avg_bot = float(np.sum(g_bot) / k_top)
     thr = avg_top - wiggle * (avg_top - avg_bot)
-    cor = np.asarray(cor_sh).reshape(-1)[:n]
+    cor = hostio.global_get(cor_sh).reshape(-1)[:n]
     idx = np.flatnonzero(cor > thr)
     if len(idx) > peaks_ops.CANDIDATE_CAP:
         # same bound (and warning) as the sequential ops/peaks path, so the

@@ -129,8 +129,8 @@ def sharded_lfilter(mesh, filt: IirFilter, x: np.ndarray, zi: np.ndarray
     x2d = hostio.device_put(np.ascontiguousarray(x[:main]).reshape(ndev, n_local),
                             sharding=NamedSharding(mesh, P("time", None)))
     y2d, zs = _sharded_lfilter(mesh, filt, x2d, zi)
-    y = np.asarray(y2d).reshape(-1)
-    zf = np.asarray(zs)[-1]
+    y = hostio.global_get(y2d).reshape(-1)
+    zf = hostio.global_get(zs)[-1]
     if main < n:
         yt, zf = filt.apply(jnp.asarray(x[main:]), jnp.asarray(zf))
         y = np.concatenate([y, np.asarray(yt)])

@@ -131,8 +131,8 @@ class ShardedDdcFm:
                 chunks = hostio.device_put(xs, dtype=dtype, sharding=spec)
                 tail_np = xs[-1][-self.halo:]
             gidx = jnp.arange(w0, w0 + ndev, dtype=jnp.int32)
-            y = np.asarray(self._wave(chunks, gidx,
-                                      hostio.device_put(carry_tail)))
+            y = hostio.global_get(self._wave(chunks, gidx,
+                                             hostio.device_put(carry_tail)))
             for ci, (s, e) in enumerate(wave):
                 off = rs.decim_phase(s, fe.stride)
                 cnt = rs.decim_count(e - s, off, fe.stride)

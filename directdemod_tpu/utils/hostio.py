@@ -135,6 +135,20 @@ def _pack_int(x):
     return hi, lo
 
 
+def global_get(y) -> np.ndarray:
+    """device_get that also works on cross-process sharded arrays: when the
+    current process does not hold every shard (a multi-host mesh), the
+    global value is assembled with a process_allgather collective instead
+    of np.asarray (which raises on non-addressable arrays). Single-process
+    arrays take the plain device_get path untouched."""
+    if isinstance(y, np.ndarray):
+        return y
+    if getattr(y, "is_fully_addressable", True):
+        return device_get(y)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(y, tiled=True))
+
+
 def device_get(y) -> np.ndarray:
     """Boundary-safe np.asarray for device arrays (any shape/dtype).
 

@@ -51,8 +51,23 @@ def worker(iq_path: str) -> None:
       * device-resident — the raw bytes already in HBM
         (io.sources.DeviceRawSource), measuring decode compute + dispatch
         only, which is what a production host link (GB/s) would see."""
+    import logging
+
+    import jax
     from directdemod_tpu.io.sources import DeviceRawSource, IQDat
     from directdemod_tpu.models.noaa import NoaaDecoder
+
+    # shape audit: count every jit trace/compile the cold decode triggers
+    jax.config.update("jax_log_compiles", True)
+    compile_count = {"n": 0}
+
+    class _CompileCounter(logging.Handler):
+        def emit(self, record):
+            if "Compiling" in record.getMessage():
+                compile_count["n"] += 1
+    logging.getLogger("jax._src.interpreters.pxla").addHandler(
+        _CompileCounter())
+    logging.getLogger("jax._src.dispatch").addHandler(_CompileCounter())
 
     fs = 2048000
     src = IQDat(iq_path + ".dat", fs)
@@ -66,6 +81,7 @@ def worker(iq_path: str) -> None:
     t0 = time.perf_counter()
     decode(src)              # full-capture warm-up: compiles every jit shape
     warm = time.perf_counter() - t0   # the timed runs below hit them warm
+    cold_compiles = compile_count["n"]
 
     t0 = time.perf_counter()
     useful, img, dec = decode(src)
@@ -87,6 +103,8 @@ def worker(iq_path: str) -> None:
         "resident_image_equal": bool(np.array_equal(img, img_r)),
         "resident_stages": dec_r.profiler.report(),
         "warmup_incl_compile_s": round(warm, 1),
+        "cold_decode_jit_compiles": cold_compiles,
+        "total_jit_compiles": compile_count["n"],
         "stages": dec.profiler.report(),
         "device": jax.devices()[0].device_kind,
     }))

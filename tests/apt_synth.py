@@ -26,8 +26,13 @@ def apt_line_words(image_a_row, image_b_row):
 
 
 def synthesize(n_lines=8, offset_hz=30000, dev_hz=17000, snr_db=None,
-               pattern="gradient", extra_s=0.25, seed=0):
-    """Returns (uint8-roundtripped complex64 IQ, ground-truth word lines)."""
+               pattern="gradient", extra_s=0.25, seed=0,
+               doppler_hz_per_s=0.0):
+    """Returns (uint8-roundtripped complex64 IQ, ground-truth word lines).
+
+    `doppler_hz_per_s`: linear carrier drift, the pass-geometry ramp a real
+    LEO capture carries (~10-60 Hz/s at 137 MHz); the FM discriminator maps
+    it to a slowly-moving DC bias the decoders must tolerate."""
     rng = np.random.default_rng(seed)
     lines = []
     for i in range(n_lines):
@@ -49,6 +54,8 @@ def synthesize(n_lines=8, offset_hz=30000, dev_hz=17000, snr_db=None,
 
     phase = 2 * np.pi * offset_hz * t + \
         2 * np.pi * dev_hz * np.cumsum(baseband) / FS
+    if doppler_hz_per_s:
+        phase = phase + np.pi * doppler_hz_per_s * t * t
     iq = np.exp(1j * phase)
     if snr_db is not None:
         p_noise = 10 ** (-snr_db / 10)

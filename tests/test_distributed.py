@@ -97,3 +97,64 @@ def test_two_process_sharded_run(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid}: OK" in out
+
+
+_NOAA_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+from apt_synth import synthesize, FS
+from directdemod_tpu.io.sources import ArraySource
+from directdemod_tpu.models.noaa import NoaaDecoder
+from directdemod_tpu.parallel.mesh import make_mesh
+
+iq, _ = synthesize(n_lines=12, snr_db=20)
+mesh = make_mesh(time=2 * 4, channel=1)     # 2 processes x 4 devices
+dec = NoaaDecoder(ArraySource(iq, FS), 30000, mesh=mesh)
+img = dec.get_image()
+sa, sb = dec.get_crude_sync()
+assert dec.useful == 1
+
+if pid == 0:
+    ref = NoaaDecoder(ArraySource(iq, FS), 30000)    # sequential, no mesh
+    rimg = ref.get_image()
+    rsa, rsb = ref.get_crude_sync()
+    assert np.array_equal(np.asarray(sa), np.asarray(rsa))
+    assert np.array_equal(np.asarray(sb), np.asarray(rsb))
+    assert img.shape == rimg.shape
+    same = float(np.mean(img == rimg))
+    assert same > 0.999, same
+    assert np.max(np.abs(img.astype(int) - rimg.astype(int))) <= 1
+print(f"proc {pid}: NOAA OK shape={img.shape}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_full_noaa_decode(tmp_path):
+    """Full NOAA decode over a 2-process x 4-device global mesh (sharded
+    front end, sharded sync search, sharded image filtfilt/envelope): the
+    image must equal the sequential single-process decode. This is the
+    multi-host production shape on the CPU CI stand-in (SURVEY 5.8)."""
+    port = "12356"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd()
+    script = tmp_path / "worker_noaa.py"
+    script.write_text(_NOAA_WORKER)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(pid), "2", port],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid}: NOAA OK" in out

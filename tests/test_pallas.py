@@ -85,3 +85,36 @@ def test_pallas_u8_backend_matches_xla_stream(tmp_path, rng):
     d = np.abs(a1 - a2)
     assert np.percentile(d, 99.9) < 1e-4
     assert d.max() < 2e-2
+
+
+def test_ddcfm_stream_mixed_backend_state(rng):
+    """DdcFmStream: pallas-u8 steady blocks followed by an XLA fallback
+    block must carry exact state across the backend switch (the complex
+    conv history is refreshed from the raw tail bytes)."""
+    from directdemod_tpu.models.frontend import DdcFmStream
+    from directdemod_tpu.ops import unpack
+
+    n_blk, blocks = 150_000, 3
+    raw = rng.integers(0, 256, 2 * n_blk * blocks).astype(np.uint8)
+    fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
+
+    # all-XLA reference
+    ref_stream = DdcFmStream(fe, backend="xla")
+    ref = [np.asarray(ref_stream.step(
+        jnp.asarray(raw[2 * i * n_blk: 2 * (i + 1) * n_blk]), i * n_blk))
+        for i in range(blocks)]
+
+    got_stream = DdcFmStream(fe, backend="pallas_u8", interpret=True)
+    got = []
+    for i in range(blocks):
+        seg = raw[2 * i * n_blk: 2 * (i + 1) * n_blk]
+        if i == 2:   # complex block: forces the XLA fallback mid-stream
+            x = unpack.iq_u8_to_complex(jnp.asarray(seg), jnp.float32)
+        else:
+            x = jnp.asarray(seg)
+        got.append(np.asarray(got_stream.step(x, i * n_blk)))
+
+    for r, g in zip(ref, got):
+        d = np.abs(r - g)
+        assert np.percentile(d, 99.9) < 1e-4
+        assert d.max() < 2e-2
