@@ -87,35 +87,66 @@ def _feed_chain_msamps(n: int = 200_000_000, block: int = 20_000_000) -> float:
     return n / dt / 1e6
 
 
-def _tpu_chain_msamps(block: int = 20_000_000, iters: int = 10) -> tuple[float, str]:
+def _tpu_chain_msamps(block: int = 20_000_000, k1: int = 4, k2: int = 16
+                      ) -> tuple[float, float, str]:
+    """Steady-state device-resident throughput of the production front-end.
+
+    Timing method (round 4): `block_until_ready` over the axon tunnel is NOT
+    a reliable barrier (measured: a 10-block chain "finished" far above the
+    HBM roofline), so every timed region ends with a device->host download
+    of a scalar reduction of the final output, and the per-block cost is
+    the SLOPE between a short and a long chain (cancels fixed RPC latency).
+    Returns (pallas_u8_msps, xla_msps, device_kind) — the Pallas u8 kernel
+    is the production steady-state backend (models/frontend.DdcFmStream)."""
     import jax
     import jax.numpy as jnp
-    from directdemod_tpu.models.frontend import DdcFm
+    from directdemod_tpu.models.frontend import DdcFm, _pallas_u8_block
     from directdemod_tpu.ops import design
+    from directdemod_tpu.utils import hostio
 
     dev = jax.devices()[0]
     fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
     rng = np.random.default_rng(0)
-    from directdemod_tpu.utils import hostio
     x = hostio.device_put((rng.standard_normal(block)
                            + 1j * rng.standard_normal(block))
                           .astype(np.complex64))
-    state = fe.init_state(jnp.complex64)
+    raw = hostio.device_put_u8(
+        rng.integers(0, 256, 2 * block).astype(np.uint8))
 
-    # warm up every (off -> out_len, first) jit variant the steady stream hits
-    start = 0
-    for _ in range(4):
-        y, state = fe.process_block(x, state, start)
-        start += block
-    y.block_until_ready()
+    def slope_msps(chain):
+        def timed(k):
+            t0 = time.perf_counter()
+            s = chain(k)
+            float(hostio.device_get(s))        # the barrier
+            return time.perf_counter() - t0
+        timed(1)                               # warm every jit shape
+        t1 = min(timed(k1) for _ in range(2))
+        t2 = min(timed(k2) for _ in range(2))
+        return block / max((t2 - t1) / (k2 - k1), 1e-9) / 1e6
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y, state = fe.process_block(x, state, start)
-        start += block
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
-    return block * iters / dt / 1e6, dev.device_kind
+    state0 = fe.init_state(jnp.complex64)
+
+    def chain_xla(k):
+        state, start, y = state0, 4 * block, None
+        for _ in range(k):
+            y, state = fe.process_block(x, state, start)
+            start += block
+        return jnp.sum(y)
+
+    taps_rev = hostio.device_put(fe.taps_mod[::-1], dtype=jnp.complex64)
+    rot = hostio.device_put(fe.rot, dtype=jnp.complex64)
+    out_len = block // fe.stride
+    cp0 = hostio.zeros(1, jnp.complex64)
+
+    def chain_pallas(k):
+        cp, audio = cp0, None
+        for _ in range(k):
+            audio, cp = _pallas_u8_block(raw, taps_rev, rot, cp,
+                                         jnp.int32(0), fe.stride, out_len,
+                                         False)
+        return jnp.sum(audio)
+
+    return slope_msps(chain_pallas), slope_msps(chain_xla), dev.device_kind
 
 
 def _link_mb_s(mb: int = 64) -> tuple[float, float]:
@@ -166,11 +197,11 @@ def _last_recorded_feed():
 
 def main() -> int:
     last_err = None
-    value = device = None
+    value = xla_value = device = None
     for attempt in range(3):           # the dev tunnel wedges transiently
         try:
             with watchdog(900, "device chain bench"):
-                value, device = _tpu_chain_msamps()
+                value, xla_value, device = _tpu_chain_msamps()
             break
         except Exception as e:
             last_err = e
@@ -213,8 +244,15 @@ def main() -> int:
         "vs_baseline": round(value / ref, 1) if ref == ref else None,
         "device": device,
         # `value` times device-resident blocks (per-chip compute); the feed-
-        # inclusive number below covers file -> device -> audio end to end
-        "measures": "device-resident 20M-sample blocks, steady state",
+        # inclusive number below covers file -> device -> audio end to end.
+        # Since round 4 the timing is slope-based through a download barrier
+        # (block_until_ready is not a reliable barrier over the tunnel), and
+        # `value` is the production Pallas-u8 steady-state kernel; the XLA
+        # polyphase lowering rides along for comparison.
+        "measures": ("device-resident 20M-sample blocks, steady state, "
+                     "pallas_u8 backend, slope-timed w/ download barrier"),
+        "xla_polyphase_msamples_per_s": (round(xla_value, 1)
+                                         if xla_value else None),
         "feed_inclusive_msamples_per_s": round(feed, 1) if feed else None,
         # the environment bound on any feed-inclusive number (2 B/sample)
         "link_upload_mb_s": round(link_up, 1) if link_up else None,

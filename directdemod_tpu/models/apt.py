@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import constants as K
+from ..ops import am as am_ops
 from ..ops import resample as rs
 from ..utils import hostio
 
@@ -140,6 +141,45 @@ def _head_kernel(am, size: int):
     return am[:size]
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _image_stage_kernel(audio, bp, block: int, strip_len: int,
+                        num_pixels: int, group_spec: tuple,
+                        starts_hl_a, starts_hl_b, group_starts):
+    """The image stage's ENTIRE device work in ONE dispatch returning ONE
+    flat f32 buffer: zero-phase bandpass + blocked Hilbert envelope
+    (ref decode_noaa.py:274,631-657), the contrast probe (ref :309-313),
+    both channels' telemetry-strip medians (ref :371-373), and every
+    line-length group's resample+median reduction (ref :350-369).
+
+    `group_spec`: static tuple of (ln, num, unit, rows) per length group;
+    `group_starts`: matching tuple of (2, rows) hi/lo start arrays. Over
+    the tunnel each dispatch AND each download costs a full RPC round
+    trip — the whole stage costs one of each."""
+    env = am_ops.envelope_blocked(bp.zero_phase(audio), block)
+    kk = env.shape[0] // num_pixels
+    probe = jnp.median(env[: kk * num_pixels].reshape(num_pixels, kk),
+                       axis=-1)
+
+    def unpack_hl(starts_hl):
+        return (starts_hl[0].astype(jnp.int32) * 4096
+                + starts_hl[1].astype(jnp.int32))
+
+    def strips(starts_hl):
+        rows = jax.vmap(lambda s0: lax.dynamic_slice(
+            env, (s0,), (strip_len,)))(unpack_hl(starts_hl))
+        return jnp.median(rows, axis=-1)
+
+    outs = [probe, strips(starts_hl_a), strips(starts_hl_b)]
+    for (ln, num, unit, _rows), st_hl in zip(group_spec, group_starts):
+        rows = jax.vmap(lambda s0: lax.dynamic_slice(
+            env, (s0,), (ln,)))(unpack_hl(st_hl))
+        resz = rs.fft_resample(rows, num)
+        mats = resz.reshape(rows.shape[0], unit, num // unit)
+        outs.append(jnp.median(mats, axis=-1).ravel())
+        outs.append(mats[:, :_SYNC_BITS, :].ravel())
+    return jnp.concatenate([o.astype(jnp.float32).ravel() for o in outs])
+
+
 def _strip_medians(am, am_dev, sync_starts, strip_len: int) -> np.ndarray:
     """np.median(am[max(s - strip_len, 0): s]) per line, 0.0 when s <= 0
     (the host walk's per-line strip estimate). With a device-resident
@@ -166,6 +206,19 @@ def _strip_medians(am, am_dev, sync_starts, strip_len: int) -> np.ndarray:
         for i, s in short:
             out[i] = float(np.median(head[:s]))
     return out
+
+
+def _resample_lines_two(am, spans_a: list, spans_b: list, unit: int,
+                        am_dev=None):
+    """_resample_lines_batched over BOTH channels with shared length
+    groups: A and B spans of equal length ride the same device dispatch
+    (typically halving the image stage's kernel-launch count — the modal
+    line length dominates both channels)."""
+    merged = spans_a + spans_b
+    out = _resample_lines_batched(am, merged, unit, am_dev)
+    na = len(spans_a)
+    return ({i: out[i] for i in range(na)},
+            {i: out[na + i] for i in range(len(spans_b))})
 
 
 def _resample_lines_batched(am: np.ndarray, spans: list, unit: int,
@@ -312,29 +365,26 @@ def _quantize(line: np.ndarray, scale: float, offset: float) -> np.ndarray:
 # ------------------------------------------------------------------ assembly
 
 def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
-                   ucsync: np.ndarray, am_dev=None
+                   ucsync: np.ndarray, am_dev=None, audio_dev=None,
+                   bp=None, am_block: int | None = None
                    ) -> tuple[np.ndarray, int | None, int | None]:
     """Build the calibrated APT image from the AM envelope and filled syncs
     (ref decode_noaa.py:305-461). Returns (image, channel_id_a, channel_id_b).
 
-    `am_dev`: optional device-resident envelope; line resample + median
-    reduce, the contrast probe, and the telemetry-strip medians then run on
-    device and only per-line reductions are downloaded. With `am=None`
-    (the resident fast path) the full envelope never crosses the link.
+    Input forms, fastest first:
+      * `audio_dev` (+ `bp`, `am_block`): the device-resident FM audio —
+        the ENTIRE image-stage device work (bandpass, envelope, probe,
+        strip medians, every line group's resample+median) fuses into ONE
+        dispatch + ONE packed download (_image_stage_kernel);
+      * `am_dev`: device-resident envelope; per-line reductions on device;
+      * `am`: host envelope (the sharded multi-host path).
     """
     num_pixels = int(0.5 / K.NOAA_T)           # 2080 px per full line
     half = int(num_pixels * 0.5)               # 1040 per channel
-    n_am = len(am) if am is not None else int(am_dev.shape[0])
-
-    # initial contrast from a coarse whole-signal median line
-    # (ref decode_noaa.py:309-313)
-    if am is not None:
-        probe = am[: (n_am // num_pixels) * num_pixels]
-        probe = probe.reshape(num_pixels, -1)
-        probe = np.median(probe, axis=-1)
+    if audio_dev is not None:
+        n_am = int(audio_dev.shape[0])
     else:
-        probe = hostio.device_get(_probe_kernel(am_dev, num_pixels))
-    low, high = np.percentile(probe, (0.5, 99.5))
+        n_am = len(am) if am is not None else int(am_dev.shape[0])
 
     # per-line spans
     n_lines = len(csync_a)
@@ -351,15 +401,38 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
         spans_a.append((sa, ea))
         spans_b.append((sb, eb))
 
-    mats_a = _resample_lines_batched(am, spans_a, half, am_dev)
-    mats_b = _resample_lines_batched(am, spans_b, half, am_dev)
-
-    calib = _Calib(low=float(low), high=float(high))
     strip_len = int(len(K.NOAA_SYNCA) * K.NOAA_T * rate)
-    strips_a = _strip_medians(am, am_dev, [s for (s, _) in spans_a],
-                              strip_len)
-    strips_b = _strip_medians(am, am_dev, [s for (s, _) in spans_b],
-                              strip_len)
+
+    if audio_dev is not None:
+        probe, strips_a, strips_b, mats_a, mats_b = _image_stage_fused(
+            audio_dev, bp, am_block, strip_len, num_pixels, half,
+            spans_a, spans_b)
+    else:
+        # initial contrast from a coarse whole-signal median line
+        # (ref decode_noaa.py:309-313)
+        if am is not None:
+            probe = am[: (n_am // num_pixels) * num_pixels]
+            probe = probe.reshape(num_pixels, -1)
+            probe = np.median(probe, axis=-1)
+        else:
+            probe = hostio.device_get(_probe_kernel(am_dev, num_pixels))
+        strips_a = _strip_medians(am, am_dev, [s for (s, _) in spans_a],
+                                  strip_len)
+        strips_b = _strip_medians(am, am_dev, [s for (s, _) in spans_b],
+                                  strip_len)
+        mats_a, mats_b = _resample_lines_two(am, spans_a, spans_b, half,
+                                             am_dev)
+    return _calibration_walk(probe, mats_a, mats_b, strips_a, strips_b,
+                             csync_a, ucsync, keep, num_pixels)
+
+
+def _calibration_walk(probe, mats_a, mats_b, strips_a, strips_b,
+                      csync_a, ucsync, keep, num_pixels
+                      ) -> tuple[np.ndarray, int | None, int | None]:
+    """The host-side calibration/quantization walk over per-line reductions
+    (ref decode_noaa.py:315-461): O(lines), a few hundred scalars each."""
+    low, high = np.percentile(probe, (0.5, 99.5))
+    calib = _Calib(low=float(low), high=float(high))
 
     image: list = []
     backup: list = []
@@ -396,3 +469,100 @@ def assemble_image(am: np.ndarray, rate: int, csync_a: list, csync_b: list,
     accepted = max(set(lens), key=lens.count)
     img = np.asarray([r for r in image if len(r) == accepted])
     return img, calib.ch_id_a, calib.ch_id_b
+
+
+def _image_stage_fused(audio_dev, bp, am_block: int, strip_len: int,
+                       num_pixels: int, unit: int, spans_a, spans_b):
+    """Host driver for _image_stage_kernel: ONE dispatch + ONE download for
+    the whole image-stage device work. Returns
+    (probe, strips_a, strips_b, mats_a, mats_b)."""
+    def pow2(n):
+        return 1 << (max(n, 1) - 1).bit_length()
+
+    def pack_strip_starts(spans):
+        full = [(i, s - strip_len) for i, (s, _) in enumerate(spans)
+                if s >= strip_len]
+        ws = [w for _, w in full] or [0]
+        ws = ws + [ws[0]] * (pow2(len(ws)) - len(ws))
+        return full, _pack_starts(ws)
+
+    full_a, hl_a = pack_strip_starts(spans_a)
+    full_b, hl_b = pack_strip_starts(spans_b)
+
+    # merged A/B length groups (A and B share the modal line length)
+    merged = list(spans_a) + list(spans_b)
+    groups: dict[int, list] = {}
+    for li, (s, e) in enumerate(merged):
+        groups.setdefault(max(e - s, 0), []).append(li)
+    spec = []              # (ln, num, unit, rows_bucket)
+    g_starts = []
+    g_members = []
+    for ln in sorted(groups):
+        members = groups[ln]
+        k = ln // unit
+        if k == 0:
+            continue       # degenerate spans: zero-length lines, host-filled
+        rows = pow2(len(members))
+        starts = [merged[li][0] for li in members]
+        starts = starts + [starts[0]] * (rows - len(starts))
+        spec.append((ln, k * unit, unit, rows))
+        g_starts.append(_pack_starts(starts))
+        g_members.append(members)
+
+    flat = hostio.device_get(_image_stage_kernel(
+        jnp.asarray(audio_dev, dtype=jnp.float32), bp, am_block, strip_len,
+        num_pixels, tuple(spec), hl_a, hl_b, tuple(g_starts)))
+
+    # unpack by the static layout
+    off = 0
+
+    def take(n):
+        nonlocal off
+        out = flat[off: off + n]
+        off += n
+        return out
+
+    probe = take(num_pixels)
+    med_a = take(hl_a.shape[1])
+    med_b = take(hl_b.shape[1])
+    strips_a = np.zeros(len(spans_a))
+    strips_b = np.zeros(len(spans_b))
+    for (i, _), m in zip(full_a, med_a):
+        strips_a[i] = float(m)
+    for (i, _), m in zip(full_b, med_b):
+        strips_b[i] = float(m)
+
+    mats: dict[int, tuple] = {}
+    for (ln, num, un, rows), members in zip(spec, g_members):
+        k = num // un
+        med = take(rows * un).reshape(rows, un)
+        head = take(rows * _SYNC_BITS * k).reshape(rows, _SYNC_BITS, k)
+        for row, li in enumerate(members):
+            mats[li] = (med[row], head[row])
+    for li in range(len(merged)):       # degenerate spans
+        if li not in mats:
+            mats[li] = (np.zeros(0), np.zeros((_SYNC_BITS, 0)))
+
+    # capture-head strips (0 < s < strip_len): rare, one small extra read
+    for strips, spans in ((strips_a, spans_a), (strips_b, spans_b)):
+        short = [(i, s) for i, (s, _) in enumerate(spans)
+                 if 0 < s < strip_len]
+        if short:
+            env_head = hostio.device_get(_env_head_kernel(
+                jnp.asarray(audio_dev, dtype=jnp.float32), bp, am_block,
+                strip_len))
+            for i, s in short:
+                strips[i] = float(np.median(env_head[:s]))
+
+    na = len(spans_a)
+    return (probe, strips_a, strips_b,
+            {i: mats[i] for i in range(na)},
+            {i: mats[na + i] for i in range(len(spans_b))})
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _env_head_kernel(audio, bp, block: int, size: int):
+    """First `size` samples of the filtered envelope (capture-head strip
+    fallback; recomputing the head is cheaper than keeping the whole
+    envelope resident for a rare path)."""
+    return am_ops.envelope_blocked(bp.zero_phase(audio), block)[:size]

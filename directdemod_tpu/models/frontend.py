@@ -30,6 +30,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..constants import PROC_CHUNKSIZE
 from ..ops import fir, resample as rs, unpack
@@ -51,6 +52,22 @@ class DdcFm:
     taps: np.ndarray
     bw_target: int
     fm: bool = True
+
+    def __hash__(self):
+        # value-based: DdcFm rides as a STATIC jit argument (self in _step /
+        # resident_frontend). The default id() hash made every freshly
+        # constructed decoder retrace + re-lower every jit graph — measured
+        # ~4 s of host time per warm NOAA decode (round-4 bench) even with
+        # the persistent compile cache hitting.
+        return hash((self.fs, float(self.freq),
+                     np.asarray(self.taps).tobytes(), self.bw_target,
+                     self.fm))
+
+    def __eq__(self, other):
+        return (isinstance(other, DdcFm)
+                and self.fs == other.fs and self.freq == other.freq
+                and self.bw_target == other.bw_target and self.fm == other.fm
+                and np.array_equal(self.taps, other.taps))
 
     def __post_init__(self):
         self.stride, self.out_rate_decim = rs.decim_params(self.fs, self.bw_target)
@@ -109,6 +126,42 @@ class DdcFm:
         y, hist2, c_last = self._step(x, hist, c_prev, jnp.int32(off), out_len,
                                       bool(start == 0))
         return y, (hist2, c_last)
+
+    @partial(jax.jit, static_argnums=(0, 2, 3))
+    def resident_frontend(self, raw, n: int, interpret: bool = False):
+        """Whole-capture fused front end for a DEVICE-RESIDENT raw-byte
+        capture, in ONE dispatch: block 0 (PROC_CHUNKSIZE samples) runs the
+        XLA step from the virtual warmup history, the entire remainder runs
+        as a single Pallas u8 kernel call (its sequential grid needs no
+        block boundaries). Per-output windows are the identical 151-tap
+        dots the blocked DdcFmStream computes, so the two paths are
+        bit-identical; this one exists because over the tunnel every eager
+        dispatch costs a ~0.3-1 s RPC round trip and the blocked loop's
+        per-block ops dominated the resident wall clock (round-4 bench).
+        Peak HBM is bounded by block 0's unpacked complex64 (~160 MB), not
+        the capture size. Requires fm=True."""
+        J, k = self.stride, len(self.taps_mod)
+        b0 = min(n, PROC_CHUNKSIZE)
+        hist = jnp.asarray(self.hist0, jnp.complex64)
+        tm = jnp.asarray(self.taps_mod, jnp.complex64)
+        rot = jnp.asarray(self.rot, jnp.complex64)
+        x0 = unpack.iq_u8_to_complex(lax.slice(raw, (0,), (2 * b0,)),
+                                     jnp.float32)
+        out_len0 = rs.decim_count(b0, 0, J)
+        c, _ = fir.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
+        audio0 = jnp.angle(c[1:] * jnp.conj(c[:-1]) * rot)
+        if b0 == n:
+            return audio0
+        off1 = rs.decim_phase(b0, J)
+        out_len1 = rs.decim_count(n - b0, off1, J)
+        from ..ops.pallas_ddc import ddc_fm_pallas_u8
+        raw_cat = lax.slice(raw, (2 * (b0 - (k - 1)),), (2 * n,))
+        need = 2 * ((out_len1 - 1) * J + k)
+        seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)),
+                                (2 * off1,), (need,))
+        audio1, _ = ddc_fm_pallas_u8(seg, tm[::-1], rot, c[-1:], J,
+                                     out_len1, interpret)
+        return jnp.concatenate([audio0, audio1])
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
                 dtype=jnp.complex64, raw: bool | str = "auto",
@@ -179,22 +232,27 @@ class DdcFmStream:
             off = rs.decim_phase(s, fe.stride)
             out_len = rs.decim_count(n, off, fe.stride)
             taps_rev, rot = self._pallas_consts()
-            y, c_last = _pallas_u8_block(
-                jnp.concatenate([self.raw_hist, x]), taps_rev, rot,
+            # ONE dispatch per block: history concat + kernel + tail slice
+            # all live inside the jit (each eager device op costs a full
+            # RPC round trip over the tunnel)
+            y, c_last, tail = _pallas_u8_step(
+                self.raw_hist, x, taps_rev, rot,
                 self.state[1].astype(jnp.complex64), jnp.int32(off),
                 fe.stride, out_len, self.interpret)
-            # complex history stays derivable from raw_hist (see class doc);
-            # refresh it so a later XLA block picks up exact state
-            hist = unpack.iq_u8_to_complex(
-                jnp.concatenate([self.raw_hist, x])[-2 * (k - 1):],
-                jnp.float32).astype(self.dtype)
-            self.state = (hist, c_last.astype(self.dtype))
-        else:
-            y, self.state = fe.process_block(x, self.state, s)
-        if is_u8:
-            self.raw_hist = x[-2 * (k - 1):]
-        else:
-            self.raw_hist = None
+            # the complex conv history stays DERIVABLE from the raw tail
+            # (see class doc); it is materialized lazily only if a later
+            # block falls back to the XLA step
+            self.state = (None, c_last.astype(self.dtype))
+            self.raw_hist = tail
+            return y
+        if self.state[0] is None:
+            # XLA fallback after pallas blocks: rebuild the complex history
+            # from the carried tail bytes
+            hist = unpack.iq_u8_to_complex(self.raw_hist,
+                                           jnp.float32).astype(self.dtype)
+            self.state = (hist, self.state[1])
+        y, self.state = fe.process_block(x, self.state, s)
+        self.raw_hist = x[-2 * (k - 1):] if is_u8 else None
         return y
 
 
@@ -213,3 +271,15 @@ def _pallas_u8_block(raw_cat, taps_rev, rot, c_prev, off, stride: int,
         jnp.pad(raw_cat, (0, 2 * stride)), (2 * off,), (need,))
     return ddc_fm_pallas_u8(seg, taps_rev, rot, c_prev, stride, out_len,
                             interpret)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _pallas_u8_step(raw_hist, x_u8, taps_rev, rot, c_prev, off, stride: int,
+                    out_len: int, interpret: bool):
+    """_pallas_u8_block with the history concatenation and the next tail
+    slice fused into the same dispatch; returns (audio, c_last, tail)."""
+    k = taps_rev.shape[0]
+    raw_cat = jnp.concatenate([raw_hist, x_u8])
+    audio, c_last = _pallas_u8_block(raw_cat, taps_rev, rot, c_prev, off,
+                                     stride, out_len, interpret)
+    return audio, c_last, x_u8[-2 * (k - 1):]

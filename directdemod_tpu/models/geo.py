@@ -52,6 +52,59 @@ def capture_time_from_filename(file_name: str) -> datetime | None:
     return None
 
 
+def parse_tle(path: str) -> dict:
+    """Parse a NORAD two-line-element file into {satellite_name: (l1, l2)},
+    validating line numbers and the mod-10 checksums (digits sum, '-' counts
+    1). The reference hands TLE files straight to pyorbital
+    (ref decode_noaa.py:131, main.py --tle); validating here turns a stale
+    or truncated file into a clear error instead of a pyorbital stack
+    trace, and keeps the selection logic testable without the optional geo
+    dependencies (the bundled fixture is tle/noaa18_synthetic.txt)."""
+    def _cksum(line: str) -> int:
+        s = 0
+        for ch in line[:68]:
+            if ch.isdigit():
+                s += int(ch)
+            elif ch == "-":
+                s += 1
+        return s % 10
+
+    out: dict[str, tuple[str, str]] = {}
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    i = 0
+    while i + 3 <= len(lines):
+        name, l1, l2 = lines[i], lines[i + 1], lines[i + 2]
+        if not (l1.startswith("1 ") and l2.startswith("2 ")):
+            raise ValueError(f"{path}: malformed TLE entry at line {i + 1}")
+        for ln in (l1, l2):
+            if len(ln) < 69:
+                raise ValueError(f"{path}: TLE line too short: {ln!r}")
+            if int(ln[68]) != _cksum(ln):
+                raise ValueError(f"{path}: TLE checksum mismatch: {ln!r}")
+        if l1[2:7] != l2[2:7]:
+            raise ValueError(f"{path}: catalog numbers differ: "
+                             f"{l1[2:7]} vs {l2[2:7]}")
+        out[name.strip()] = (l1, l2)
+        i += 3
+    if not out:
+        raise ValueError(f"{path}: no TLE entries found")
+    return out
+
+
+def select_tle(path: str, satellite: str) -> tuple[str, str]:
+    """The satellite's (line1, line2) from a TLE file; KeyError with the
+    available names when absent (the reference's satellite-name lookup,
+    ref main.py:232-241)."""
+    tles = parse_tle(path)
+    key = satellite.strip().upper()
+    for name, pair in tles.items():
+        if name.upper() == key:
+            return pair
+    raise KeyError(f"{satellite!r} not in {path}; "
+                   f"available: {sorted(tles)}")
+
+
 def _render_basemap(img, center, dest_rot) -> bool:
     """Legacy basemap renderer (ref decode_noaa.py:172-183): Cassini
     projection centered on the track midpoint, yellow coast/country lines.
@@ -128,6 +181,12 @@ def map_overlay(image_a: np.ndarray, capture_time: datetime, satellite: str,
         log.error("scipy/PIL not installed; cannot draw map")
         return []
 
+    if tle_file is not None:
+        try:
+            select_tle(tle_file, satellite)      # validate before pyorbital
+        except (OSError, ValueError, KeyError) as e:
+            log.error("bad TLE file: %s", e)
+            return []
     orb = Orbital(satellite) if tle_file is None else \
         Orbital(satellite, tle_file=tle_file)
 

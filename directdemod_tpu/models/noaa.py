@@ -81,6 +81,21 @@ class NoaaDecoder:
         j2 = int(decim_rate // target_rate) if not strict else 1
         out_rate = int(decim_rate / j2) if not strict else target_rate
 
+        if (self.mesh is None and not strict and j2 == 1 and fe.fm
+                and callable(getattr(self.src, "read_raw_device", None))):
+            # device-resident capture: ONE dispatch for the whole front end
+            # (XLA block 0 + one Pallas u8 call over the remainder; see
+            # DdcFm.resident_frontend). Bit-identical to the blocked
+            # file-fed path below — same per-output window dots — while
+            # avoiding its per-block RPC round trips over the tunnel.
+            n = self.src.length
+            interp = jax.default_backend() != "tpu"   # Mosaic is TPU-only
+            with self.profiler.stage("fm_frontend", n):
+                raw = self.src.read_raw_device(0, n)
+                audio = fe.resident_frontend(raw, n, interp)
+            return (audio if device_out
+                    else hostio.device_get(audio)), out_rate
+
         if self.mesh is not None and not strict and j2 == 1:
             # chunk-parallel front end over the mesh's time axis. Without a
             # strict resample the chain is block-size-invariant (all carries
@@ -158,6 +173,28 @@ class NoaaDecoder:
     def get_crude_sync(self):
         """Sync locations at the crude rate (ref decode_noaa.py:769-806)."""
         if self._sync_a is None:
+            fe = DdcFm(self.src.sampFreq, self.offset,
+                       design.blackmanharris(151), self.bw, fm=True)
+            if (self.mesh is None and fe.out_rate // K.NOAA_CRUDESYNCSAMPRATE <= 1
+                    and callable(getattr(self.src, "read_raw_device", None))):
+                # resident capture: front end + sync scan as ONE dispatch
+                rate = fe.out_rate
+                n_audio = fe.block_out_len(0, self.src.length) - 1
+                needles = _apt_needles(rate)
+                k = int(2 * (n_audio / rate)) + 2
+                cap = _sync_cap(n_audio)
+                interp = jax.default_backend() != "tpu"
+                with self.profiler.stage("frontend+sync", self.src.length):
+                    raw = self.src.read_raw_device(0, self.src.length)
+                    audio, packed, cors, thr = _resident_sync_kernel(
+                        fe, raw, needles, self.src.length, AM_BLOCK, k,
+                        float(K.NOAA_PEAKHEIGHTWIGGLE), cap, interp)
+                    self._sync_a, self._sync_b = self._crude_sync_post(
+                        packed, cors, thr, rate, cap)
+                self._audio = (audio, rate)
+                self._sync_rate = rate
+                self._useful = self._usefulness()
+                return [self._sync_a, self._sync_b]
             audio, rate = self._fm_audio(K.NOAA_CRUDESYNCSAMPRATE,
                                          strict=False,
                                          device_out=self.mesh is None)
@@ -192,15 +229,19 @@ class NoaaDecoder:
         Over the dev tunnel every eager op is a host<->device round trip;
         the unfused form cost ~30 RPCs (~4 s of the 60-line e2e wall clock),
         the fused form costs one kernel launch plus three small downloads."""
-        na = corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
-        nb = corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True)
-        needles = jnp.asarray(np.stack([na, nb]), dtype=jnp.float32)
         n = int(audio.shape[0]) if hasattr(audio, "shape") else len(audio)
+        needles = _apt_needles(rate)
         k = int(2 * (n / rate)) + 2
         cap = _sync_cap(n)
         packed, cors, thr = _crude_sync_kernel(
             jnp.asarray(audio, dtype=jnp.float32), needles, AM_BLOCK, k,
             float(K.NOAA_PEAKHEIGHTWIGGLE), cap)
+        return self._crude_sync_post(packed, cors, thr, rate, cap)
+
+    def _crude_sync_post(self, packed, cors, thr, rate: int, cap: int):
+        """Host side of the crude-sync scan: unpack the ONE download,
+        group peaks, handle slot overflow via the exact fallback."""
+        na_len = len(corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True))
         p = hostio.device_get(packed)              # the stage's ONE download
         idx_np = (p[:, :cap, 0].astype(np.int64) * 4096
                   + p[:, :cap, 1].astype(np.int64))
@@ -222,7 +263,7 @@ class NoaaDecoder:
                 cand_i, cand_v = idx_np[row][keep], vals_np[row][keep]
             grouped = peaks.group_peaks(cand_i, cand_v,
                                         K.NOAA_MINPEAKDIST * rate)
-            out.append(np.sort(grouped - len(na) // 2)
+            out.append(np.sort(grouped - na_len // 2)
                        if len(grouped) else np.empty(0, dtype=np.int64))
         return out[0], out[1]
 
@@ -265,16 +306,13 @@ class NoaaDecoder:
                 env = sharded_envelope_blocked(self.mesh, filtered, AM_BLOCK)
                 env_dev = None
             else:
-                # bandpass filtfilt + blocked envelope fused into one
-                # dispatch; the envelope STAYS on device — the contrast
-                # probe, telemetry-strip medians, and line resamples all
-                # reduce on device (apt.assemble_image), so the image stage
-                # downloads per-line reductions, not the 14.6 MB envelope
-                env_dev = _filt_env_kernel(
-                    jnp.asarray(audio, dtype=jnp.float32), bp, AM_BLOCK)
+                # the bandpass/envelope/probe/strip preamble fuses into ONE
+                # dispatch inside apt.assemble_image (audio_dev form); the
+                # envelope never crosses the link
                 env = None
+                env_dev = None
 
-            n_env = len(env) if env is not None else int(env_dev.shape[0])
+            n_env = len(env) if env is not None else int(audio.shape[0])
             csync_a = np.asarray(self._sync_a, dtype=np.float64) \
                 / self._sync_rate * rate
             csync_b = np.asarray(self._sync_b, dtype=np.float64) \
@@ -292,8 +330,14 @@ class NoaaDecoder:
                 log.error("sync A/B count mismatch; deriving B from A")
                 csync_b = list(np.asarray(csync_a) + int(0.25 * rate))
 
-            img, ida, idb = apt.assemble_image(env, rate, csync_a, csync_b,
-                                               ucsync, am_dev=env_dev)
+            if env is None:
+                img, ida, idb = apt.assemble_image(
+                    None, rate, csync_a, csync_b, ucsync,
+                    audio_dev=audio, bp=bp, am_block=AM_BLOCK)
+            else:
+                img, ida, idb = apt.assemble_image(env, rate, csync_a,
+                                                   csync_b, ucsync,
+                                                   am_dev=env_dev)
             self._image = img
             self._ch_id = (ida, idb)
         return self._image
@@ -417,11 +461,25 @@ class NoaaDecoder:
         return out
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _filt_env_kernel(audio, bp, block: int):
-    """Zero-phase bandpass + blocked Hilbert envelope in one compiled
-    program (the image-stage chain of ref decode_noaa.py:274,631-657)."""
-    return am_ops.envelope_blocked(bp.zero_phase(audio), block)
+def _apt_needles(rate: int) -> jnp.ndarray:
+    """(2, L) A/B sync needle stack at `rate` (ref decode_noaa.py:690-694)."""
+    na = corr_ops.apt_needle(K.NOAA_SYNCA, rate, K.NOAA_T, True)
+    nb = corr_ops.apt_needle(K.NOAA_SYNCB, rate, K.NOAA_T, True)
+    return jnp.asarray(np.stack([na, nb]), dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+def _resident_sync_kernel(fe, raw, needles, n: int, block: int, k: int,
+                          wiggle: float, cap: int, interp: bool):
+    """Device-resident capture: fused front end (XLA block 0 + one Pallas
+    u8 call) AND the whole crude-sync scan in ONE dispatch. Over the tunnel
+    every dispatch costs a full RPC round trip; this folds what used to be
+    two phases into one program and keeps the audio resident for the image
+    stage. Returns (audio, packed, cors, thr)."""
+    audio = fe.resident_frontend(raw, n, interp)
+    packed, cors, thr = _crude_sync_kernel(audio, needles, block, k,
+                                           wiggle, cap)
+    return audio, packed, cors, thr
 
 
 def _sync_cap(n: int) -> int:

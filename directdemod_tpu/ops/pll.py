@@ -342,6 +342,35 @@ def segment_plan(n: int, n_segments: int, warmup_symbols: int,
     return plan
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _segments_core(p: PskParams, x, syncs, n_segments: int,
+                   warmup_symbols: int, owned_start: int):
+    """Single-dispatch segment scan: pad + gather + broadcast init + vmapped
+    scan + ownership mask all inside one jit (each eager device op costs a
+    full RPC round trip over the tunnel link)."""
+    sync, sync1 = syncs
+    n = int(x.shape[0])
+    plan = segment_plan(n, n_segments, warmup_symbols, p.symbol_period,
+                        owned_start)
+    seg_len = max(e - sf for (_, e, sf) in plan)
+    starts = jnp.asarray([sf for (_, _, sf) in plan], jnp.int32)
+    owned_from = jnp.asarray([s for (s, _, _) in plan], jnp.int32)
+    owned_to = jnp.asarray([e for (_, e, _) in plan], jnp.int32)
+
+    xp = jnp.pad(x, (0, seg_len))
+    segs = jax.vmap(lambda s0: lax.dynamic_slice(xp, (s0,), (seg_len,)))(starts)
+
+    init = initial_state(p, int(jnp.asarray(sync).shape[0]))
+    init_b = jax.tree.map(
+        lambda v: jnp.broadcast_to(v, (n_segments,) + v.shape), init)
+    _, outs = jax.vmap(
+        lambda xs, st: symbol_scan(p, xs, st, sync, sync1))(segs, init_b)
+    a_global = outs.a_idx + starts[:, None]
+    owned = outs.valid & (a_global >= owned_from[:, None]) \
+        & (a_global < owned_to[:, None])
+    return outs._replace(a_idx=a_global), owned
+
+
 def symbol_scan_segments(p: PskParams, x: jnp.ndarray, sync, sync1,
                          n_segments: int, warmup_symbols: int = 2000,
                          owned_start: int = 0, mesh=None):
@@ -354,6 +383,12 @@ def symbol_scan_segments(p: PskParams, x: jnp.ndarray, sync, sync1,
     axis is sharded over the mesh's `time` axis so the vmapped scans run one
     per device under the SPMD partitioner.
     """
+    sync = jnp.asarray(sync, jnp.float32)
+    sync1 = jnp.asarray(sync1, jnp.float32)
+    if mesh is None:
+        return _segments_core(p, x, (sync, sync1), n_segments,
+                              warmup_symbols, owned_start)
+
     n = int(x.shape[0])
     plan = segment_plan(n, n_segments, warmup_symbols, p.symbol_period,
                         owned_start)
@@ -370,17 +405,14 @@ def symbol_scan_segments(p: PskParams, x: jnp.ndarray, sync, sync1,
     init_b = jax.tree.map(lambda v: jnp.broadcast_to(v, (n_segments,) + v.shape),
                           init)
     scan_f = lambda xs, st: symbol_scan(p, xs, st, sync, sync1)
-    if mesh is not None:
-        # route through the SPMD partitioner: one segment scan per device
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        xspec = NamedSharding(mesh, P("time", None))
-        sspec = jax.tree.map(
-            lambda v: NamedSharding(
-                mesh, P(*(("time",) + (None,) * (v.ndim - 1)))), init_b)
-        _, outs = jax.jit(jax.vmap(scan_f),
-                          in_shardings=(xspec, sspec))(segs, init_b)
-    else:
-        _, outs = jax.vmap(scan_f)(segs, init_b)
+    # route through the SPMD partitioner: one segment scan per device
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xspec = NamedSharding(mesh, P("time", None))
+    sspec = jax.tree.map(
+        lambda v: NamedSharding(
+            mesh, P(*(("time",) + (None,) * (v.ndim - 1)))), init_b)
+    _, outs = jax.jit(jax.vmap(scan_f),
+                      in_shardings=(xspec, sspec))(segs, init_b)
     a_global = outs.a_idx + starts[:, None]
     owned = outs.valid & (a_global >= owned_from[:, None]) \
         & (a_global < owned_to[:, None])

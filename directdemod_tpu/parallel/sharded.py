@@ -41,6 +41,15 @@ class ShardedDdcFm:
     fe: DdcFm
     mesh: jax.sharding.Mesh
 
+    def __hash__(self):
+        # value-based (see DdcFm.__hash__): static jit arg in _wave; a fresh
+        # instance per decode must hit the same jit cache entry
+        return hash((self.fe, self.mesh))
+
+    def __eq__(self, other):
+        return (isinstance(other, ShardedDdcFm)
+                and self.fe == other.fe and self.mesh == other.mesh)
+
     def __post_init__(self):
         k = len(self.fe.taps)
         self.halo = k - 1 + self.fe.stride

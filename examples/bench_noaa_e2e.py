@@ -100,7 +100,15 @@ def worker(iq_path: str) -> None:
         "useful": useful,
         "image_shape": list(img.shape),
         "resident_wallclock_s": round(dt_res, 3),
+        # strict equality plus the matching-pixel fraction: the file-fed
+        # path recomputes each block-boundary c_last with one XLA dot while
+        # the resident path carries it inside the Pallas kernel — a last-ulp
+        # difference that can flip isolated uint8 pixels at quantization
+        # boundaries without any decode divergence
         "resident_image_equal": bool(np.array_equal(img, img_r)),
+        "resident_image_pixel_match": (
+            round(float(np.mean(img == img_r)), 6)
+            if img.shape == img_r.shape else 0.0),
         "resident_stages": dec_r.profiler.report(),
         "warmup_incl_compile_s": round(warm, 1),
         "cold_decode_jit_compiles": cold_compiles,

@@ -145,3 +145,37 @@ def test_overlay_from_filename_glue(fake_pyorbital, monkeypatch, tmp_path):
     # no timestamp in the file name
     assert geo.map_overlay_from_filename(
         _Dec(), "capture.wav", 137_100_000, "r.png", "n.png", None) == []
+
+
+# --------------------------------------------------------------- TLE handling
+
+def test_parse_tle_fixture():
+    """The bundled synthetic TLE fixture parses with valid checksums
+    (ungated: no pyorbital needed)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "tle",
+                        "noaa18_synthetic.txt")
+    tles = geo.parse_tle(path)
+    assert "NOAA 18" in tles
+    l1, l2 = geo.select_tle(path, "noaa 18")
+    assert l1.startswith("1 28654U") and l2.startswith("2 28654")
+
+
+def test_parse_tle_rejects_corruption(tmp_path):
+    good = ("NOAA 18\n"
+            "1 28654U 05018A   26233.50000000  .00000100  00000-0  60000-4 0  9991\n"
+            "2 28654  98.8500 210.0000 0014000 120.0000 240.2500 14.12500000 10005\n")
+    p = tmp_path / "t.txt"
+    p.write_text(good)
+    assert "NOAA 18" in geo.parse_tle(str(p))
+    # flip a digit -> checksum must catch it
+    p.write_text(good.replace("98.8500", "98.8600"))
+    with pytest.raises(ValueError, match="checksum"):
+        geo.parse_tle(str(p))
+    # truncated file
+    p.write_text(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        geo.parse_tle(str(p))
+    p.write_text(good)
+    with pytest.raises(KeyError):
+        geo.select_tle(str(p), "METEOR M2")

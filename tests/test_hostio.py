@@ -83,3 +83,14 @@ def test_device_put_complex_sharded(shimmed, rng):
     d = hostio.device_put(x, dtype=jnp.complex64, sharding=sh)
     assert np.array_equal(np.asarray(d), x)
     assert d.sharding.is_equivalent_to(sh, x.ndim)
+
+
+def test_global_get_single_process_passthrough():
+    """global_get == device_get for fully-addressable arrays (the
+    multi-process allgather path is exercised by test_distributed)."""
+    import jax.numpy as jnp
+    from directdemod_tpu.utils import hostio
+    x = jnp.arange(8, dtype=jnp.float32)
+    np.testing.assert_array_equal(hostio.global_get(x), np.arange(8.0))
+    a = np.arange(4.0)
+    assert hostio.global_get(a) is a

@@ -118,3 +118,58 @@ def test_ddcfm_stream_mixed_backend_state(rng):
         d = np.abs(r - g)
         assert np.percentile(d, 99.9) < 1e-4
         assert d.max() < 2e-2
+
+
+def test_resident_frontend_matches_blocked_stream(rng):
+    """DdcFm.resident_frontend (one-dispatch XLA-block0 + whole-remainder
+    Pallas call) vs the blocked DdcFmStream on the same raw capture: the
+    per-output windows are identical dots, so outputs must agree to fp32."""
+    from directdemod_tpu.models.frontend import DdcFmStream
+
+    n = 420_000
+    raw_np = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    fe = DdcFm(2048000, 30000, design.blackmanharris(151), 60000, fm=True)
+
+    # blocked reference with pallas steady blocks (interpret mode on CPU)
+    stream = DdcFmStream(fe, backend="pallas_u8", interpret=True)
+    blk = 150_000
+    ref = np.concatenate([
+        np.asarray(stream.step(jnp.asarray(raw_np[2 * s: 2 * min(s + blk, n)]),
+                               s))
+        for s in range(0, n, blk)])
+
+    # small block 0 so the pallas arm is exercised (production uses 20M)
+    got = np.asarray(_resident_small(fe, raw_np, n, b0=150_000))
+    assert got.shape == ref.shape
+    d = np.abs(got - ref)
+    assert np.percentile(d, 99.9) < 1e-4
+    assert d.max() < 2e-2
+
+
+def _resident_small(fe, raw_np, n, b0):
+    """resident_frontend's exact body with a small block 0 (the production
+    constant is 20M, larger than any CPU test capture)."""
+    from jax import lax
+    from directdemod_tpu.ops import fir as fir_ops
+    from directdemod_tpu.ops import resample as rs
+    from directdemod_tpu.ops import unpack
+    from directdemod_tpu.ops.pallas_ddc import ddc_fm_pallas_u8
+
+    raw = jnp.asarray(raw_np)
+    J, k = fe.stride, len(fe.taps_mod)
+    hist = jnp.asarray(fe.hist0, jnp.complex64)
+    tm = jnp.asarray(fe.taps_mod, jnp.complex64)
+    rot = jnp.asarray(fe.rot, jnp.complex64)
+    x0 = unpack.iq_u8_to_complex(lax.slice(raw, (0,), (2 * b0,)), jnp.float32)
+    out_len0 = rs.decim_count(b0, 0, J)
+    c, _ = fir_ops.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
+    audio0 = jnp.angle(c[1:] * jnp.conj(c[:-1]) * rot)
+    off1 = rs.decim_phase(b0, J)
+    out_len1 = rs.decim_count(n - b0, off1, J)
+    raw_cat = lax.slice(raw, (2 * (b0 - (k - 1)),), (2 * n,))
+    need = 2 * ((out_len1 - 1) * J + k)
+    seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)), (2 * off1,),
+                            (need,))
+    audio1, _ = ddc_fm_pallas_u8(seg, tm[::-1], rot, c[-1:], J, out_len1,
+                                 True)
+    return jnp.concatenate([audio0, audio1])
