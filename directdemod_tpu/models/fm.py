@@ -34,16 +34,17 @@ class FmDecoder:
         fe = DdcFm(self.src.sampFreq, self.offset,
                    design.blackmanharris(151), self.bw, fm=True)
         decim_rate = fe.out_rate
-        state = fe.init_state(self.dtype)
         outs = []
         off2 = 0
         j2 = 1 if self.strict else max(1, int(decim_rate // self.audio_freq))
         out_rate = self.audio_freq if self.strict else int(decim_rate / j2)
         from ..io.feeder import BlockFeeder
+        from .frontend import DdcFmStream
+        stream = DdcFmStream(fe, dtype=self.dtype)   # pallas u8 on TPU
         with BlockFeeder(self.src, PROC_CHUNKSIZE, dtype=self.dtype,
                          raw="auto") as feeder:
             for (s, e, x) in feeder:
-                y, state = fe.process_block(x, state, s)
+                y = stream.step(x, s)
                 if self.strict:
                     y = rs.fft_resample(
                         y, int(self.audio_freq * y.shape[0] / decim_rate))

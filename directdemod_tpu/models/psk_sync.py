@@ -33,11 +33,11 @@ from functools import partial
 from jax import lax
 
 from ..constants import PROC_CHUNKSIZE
-from ..ops import correlate as corr_ops
 from ..ops import iir, nco, unpack
-from ..ops.pll import (PskParams, initial_state, pack_symbol_outs,
-                       pack_symbol_outs_owned, symbol_scan,
-                       symbol_scan_segments, unpack_symbol_outs)
+from ..ops.pll import (PskParams, _segments_core, initial_state,
+                       pack_symbol_outs, pack_symbol_outs_owned,
+                       symbol_scan, symbol_scan_segments,
+                       unpack_symbol_outs)
 from ..stream import plan as plan_mod
 from ..utils import hostio
 
@@ -82,15 +82,197 @@ class _DeviceStream:
         off = (a - self.lo) - start
         return win[off: off + (b - a)]
 
-    def keep_tail(self, keep: int) -> "_DeviceStream":
-        n = int(self.arr.shape[0])
-        keep = min(keep, n)
-        return _DeviceStream(self.arr[n - keep:], self.lo + n - keep)
 
-    def extend(self, x, x_lo: int) -> "_DeviceStream":
-        if int(self.arr.shape[0]) == 0:
-            return _DeviceStream(x, x_lo)
-        return _DeviceStream(jnp.concatenate([self.arr, x]), self.lo)
+class _DeviceStreamChain:
+    """_DeviceStream over a LIST of contiguous device blocks: no device-side
+    concatenation at all (each eager concat/slice costs an RPC round trip
+    over the tunnel). Window reads may straddle block boundaries; parts
+    download separately and join on host."""
+
+    def __init__(self):
+        self.segs: list = []       # [(device arr, global lo)], contiguous
+
+    def append(self, arr, lo: int) -> None:
+        self.segs.append((arr, int(lo)))
+
+    @property
+    def lo(self) -> int:
+        return self.segs[0][1] if self.segs else 0
+
+    @property
+    def hi(self) -> int:
+        if not self.segs:
+            return 0
+        arr, lo = self.segs[-1]
+        return lo + int(arr.shape[0])
+
+    def get(self, a: int, b: int) -> np.ndarray:
+        parts = []
+        for arr, lo in self.segs:
+            hi = lo + int(arr.shape[0])
+            aa, bb = max(a, lo), min(b, hi)
+            if bb > aa:
+                parts.append(_DeviceStream(arr, lo).get(aa, bb))
+        if not parts:
+            return np.empty(0, dtype=np.complex64)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def prune(self, keep_from: int) -> None:
+        """Drop whole blocks that end at or before `keep_from`."""
+        self.segs = [(arr, lo) for (arr, lo) in self.segs
+                     if lo + int(arr.shape[0]) > keep_from]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def _block_pipeline_seq(p, lp, x, lp_state, omega, anchors, scan_state,
+                        sync, sync1):
+    """ONE dispatch per stream block: unpack (raw u8) -> chunk-local NCO ->
+    Butterworth low-pass -> fused symbol scan -> packed outputs, plus the
+    anchor rebase for the next block. `omega` is the static per-sample NCO
+    increment (0.0 skips the mixer at trace time)."""
+    if x.dtype == jnp.uint8:
+        x = unpack.iq_u8_to_complex(x, jnp.float32)
+    if omega != 0.0:
+        x = nco.mix(x, omega, anchors)
+    x, lp_state = lp.apply(x, lp_state)
+    scan_state, outs = symbol_scan(p, x, scan_state, sync, sync1)
+    scan_state = scan_state._replace(
+        anchor=scan_state.anchor - jnp.int32(x.shape[0]))
+    return pack_symbol_outs(outs), x, lp_state, scan_state
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 6, 7, 8))
+def _capture_pipeline(p, lp, raw_or_x, lp_state, omega, anchors_tuple,
+                      plan_tuple: tuple, n_segments: int,
+                      warmup_symbols: int, sync, sync1):
+    """The WHOLE capture in ONE dispatch: unpack, per-chunk NCO (the
+    reference's phase-restart quirk preserved by a static unrolled loop
+    over the chunk plan), continuous low-pass, and either the sequential
+    fused symbol scan or the capture-level segmented scan, ending in the
+    packed-outputs tensor. Over the tunnel this replaces ~4 round trips per
+    20M-sample block with one dispatch + one download for the capture.
+
+    Capture-level segmentation (vs per-block) makes the parallel fraction
+    n/n_segments of the WHOLE capture, so the segment speedup is no longer
+    capped by the per-block sequential scan."""
+    x = raw_or_x
+    if x.dtype == jnp.uint8:
+        x = unpack.iq_u8_to_complex(x, jnp.float32)
+    if omega != 0.0:
+        parts = [nco.mix(lax.slice(x, (s,), (e,)), omega, anch)
+                 for (s, e), anch in zip(plan_tuple, anchors_tuple)]
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    x, _ = lp.apply(x, lp_state)
+    if n_segments > 1:
+        outs, owned = _segments_core(p, x, (sync, sync1), n_segments,
+                                     warmup_symbols, 0)
+        return pack_symbol_outs_owned(outs, owned), x
+    state = initial_state(p, int(jnp.asarray(sync).shape[0]))
+    _, outs = symbol_scan(p, x, state, sync, sync1)
+    return pack_symbol_outs(outs), x
+
+
+# capture-level segmentation cap: the filtered capture plus the segment
+# gather both materialize, ~16 B/sample total
+_CAPTURE_SEG_MAX = 128_000_000
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 7, 8))
+def _block_pipeline_seg(p, lp, x, lp_state, omega, anchors, filt_prefix,
+                        n_segments: int, warmup_symbols: int, sync, sync1):
+    """_block_pipeline_seq with the segment-parallel scan: the previous
+    block's filtered warmup tail rides in as `filt_prefix` (length 0 on the
+    first block) and the next tail returns without leaving the device."""
+    if x.dtype == jnp.uint8:
+        x = unpack.iq_u8_to_complex(x, jnp.float32)
+    if omega != 0.0:
+        x = nco.mix(x, omega, anchors)
+    x, lp_state = lp.apply(x, lp_state)
+    xw = jnp.concatenate([filt_prefix, x]) \
+        if filt_prefix.shape[0] else x
+    outs, owned = _segments_core(p, xw, (sync, sync1), n_segments,
+                                 warmup_symbols, int(filt_prefix.shape[0]))
+    warm = int(warmup_symbols * p.symbol_period)
+    return (pack_symbol_outs_owned(outs, owned), x, xw[-warm:], lp_state)
+
+
+class _RecordingStream:
+    """Dry-run stand-in for a stream: records every requested window range
+    and returns zeros. Pass 2's control flow (arming windows, countdowns,
+    retriggers) depends only on the SYMBOL streams, never on the window
+    sample values, so a dry run discovers exactly which spans the real run
+    will read."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.ranges: list = []
+
+    @property
+    def lo(self) -> int:
+        return self.inner.lo
+
+    @property
+    def hi(self) -> int:
+        return self.inner.hi
+
+    def get(self, a: int, b: int) -> np.ndarray:
+        a2, b2 = max(a, self.lo), min(b, self.hi)
+        if b2 <= a2:
+            return np.empty(0, dtype=np.complex64)
+        self.ranges.append((a2, b2))
+        return np.zeros(b2 - a2, dtype=np.complex64)
+
+
+class _CachedStream:
+    """Serves the ranges a _RecordingStream discovered from one batched
+    prefetch; anything else falls through to the inner stream."""
+
+    def __init__(self, inner, cache: dict):
+        self.inner = inner
+        self.cache = cache
+
+    @property
+    def lo(self) -> int:
+        return self.inner.lo
+
+    @property
+    def hi(self) -> int:
+        return self.inner.hi
+
+    def get(self, a: int, b: int) -> np.ndarray:
+        a2, b2 = max(a, self.lo), min(b, self.hi)
+        hit = self.cache.get((a2, b2))
+        return hit if hit is not None else self.inner.get(a, b)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gather_windows(arr, starts_hl, size: int):
+    starts = (starts_hl[0].astype(jnp.int32) * 4096
+              + starts_hl[1].astype(jnp.int32))
+    return jax.vmap(lambda s0: lax.dynamic_slice(arr, (s0,), (size,)))(starts)
+
+
+def _prefetch_windows(chain: _DeviceStreamChain, ranges: list) -> dict:
+    """ONE gather dispatch + ONE download for all of pass 2's correlation
+    windows (each separate window read costs a full RPC round trip over
+    the tunnel). Returns {(a, b): np window}."""
+    if not ranges:
+        return {}
+    arrs = [a for a, _ in chain.segs]
+    base = chain.lo
+    full = arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs)
+    n = int(full.shape[0])
+    size = max(b - a for a, b in ranges)
+    size = min(n, -(-size // 4096) * 4096)
+    starts = [min(max(a - base, 0), n - size) for a, _ in ranges]
+    hl = np.stack([(np.asarray(starts, np.int64) // 4096).astype(np.float32),
+                   (np.asarray(starts, np.int64) % 4096).astype(np.float32)])
+    wins = hostio.device_get(_gather_windows(full, jnp.asarray(hl), size))
+    cache = {}
+    for (a, b), s0, row in zip(ranges, starts, wins):
+        off = (a - base) - int(s0)
+        cache[(a, b)] = row[off: off + (b - a)]
+    return cache
 
 
 class _HostStream:
@@ -193,8 +375,9 @@ class PskSyncDetector:
         chosens: list = []
         minsyncs: list = []       # (symbol_number(ctr), global_sample)
 
-        # stream retention for pass 2 (device-resident; see _DeviceStream)
-        tail = _DeviceStream(hostio.zeros((0,), jnp.complex64), 0)
+        # stream retention for pass 2: a chain of the filtered device
+        # blocks — no device-side copies, windows download on demand
+        stream = _DeviceStreamChain()
         max_win = cfg.cap_entries // cfg.entries_per_sample \
             + cfg.cap_entries // cfg.entries_per_sample + 8
 
@@ -202,58 +385,168 @@ class PskSyncDetector:
 
         use_raw = unpack.supports_raw(self.src)
         parallel = self.n_segments > 1
-        warm = int(self.warmup_symbols * p.symbol_period) if parallel else 0
-        filt_prefix = None        # previous block's filtered tail (device)
+        omega = (float(np.float32(-2 * np.pi * self.offset
+                                  / self.src.sampFreq))
+                 if self.offset != 0.0 else 0.0)
+        no_anch = hostio.zeros((1,), jnp.float32)
+        filt_prefix = hostio.zeros((0,), jnp.complex64)
         plan = plan_mod.plan_blocks(self.src.length, self.block_size)
-        for ci, (s, e) in enumerate(plan):
+        resident = callable(getattr(self.src, "read_raw_device", None))
+        anch_cache: dict = {}
+
+        def read_block(s, e):
+            if resident:
+                return self.src.read_raw_device(s, e)
             if use_raw:
-                x = jax.jit(unpack.iq_u8_to_complex)(
-                    hostio.device_put_u8(self.src.read_raw(s, e)))
+                return hostio.device_put_u8(self.src.read_raw(s, e))
+            return hostio.device_put(self.src.read(s, e), dtype=self.dtype)
+
+        def block_nco(ci, s, e):
+            if self.freq_fn is not None:
+                return None, None                    # handled by caller
+            if omega == 0.0:
+                return 0.0, no_anch
+            if (e - s) not in anch_cache:
+                anch_cache[e - s] = hostio.device_put(
+                    nco.phase_anchors(self.offset, self.src.sampFreq,
+                                      0, e - s))
+            return omega, anch_cache[e - s]
+
+        if (self.mesh is None and self.freq_fn is None
+                and self.block_size == PROC_CHUNKSIZE
+                and self.src.length <= _CAPTURE_SEG_MAX):
+            # whole-capture fast path: ONE dispatch (unpack + per-chunk NCO
+            # + filter + scan + pack) and ONE packed download, sequential
+            # or capture-level segmented
+            if self.src.length not in anch_cache:
+                anch_cache[self.src.length] = tuple(
+                    hostio.device_put(nco.phase_anchors(
+                        self.offset, self.src.sampFreq, 0, e - s))
+                    for (s, e) in plan) if omega != 0.0 else (no_anch,)
+            packed, x_f = _capture_pipeline(
+                p, lp, read_block(0, self.src.length), lp_state, omega,
+                anch_cache[self.src.length], tuple(plan), self.n_segments,
+                self.warmup_symbols, sync_j, sync1_j)
+            stream.append(x_f, 0)
+            pk = hostio.device_get(packed)
+            (valid, ai_all, ph_all, ch_all, mf_all,
+             ow) = unpack_symbol_outs(pk)
+            if parallel:
+                seg_take = lambda col: np.concatenate(
+                    [col[si][ow[si]] for si in range(self.n_segments)])
+                ai = seg_take(ai_all)
+                ph, ch, mf = (seg_take(ph_all), seg_take(ch_all),
+                              seg_take(mf_all))
+            else:
+                ai = ai_all[valid]
+                ph, ch, mf = ph_all[valid], ch_all[valid], mf_all[valid]
+            a_idx.append(ai)
+            phases.append(ph)
+            chosens.append(ch)
+            for k in np.flatnonzero(mf):
+                minsyncs.append((k + 1, int(ai[k])))
+            # dry-run the replay to discover the needed windows, batch
+            # them in ONE gather+download, then replay for real (the walk's
+            # control flow never depends on window sample values)
+            snap = (self._consumed, dict(self._open) if self._open else None,
+                    self._prev_lm, dict(self._stale) if self._stale else None)
+            rec = _RecordingStream(stream)
+            self._dry_run = True
+            try:
+                self._drain_corr_jobs(minsyncs, a_idx, phases, chosens, rec,
+                                      stream.lo, stream.hi, [], final=True)
+            finally:
+                self._dry_run = False
+            (self._consumed, self._open,
+             self._prev_lm, self._stale) = snap
+            cache = _prefetch_windows(stream, rec.ranges)
+            max_syncs = self._drain_corr_jobs(
+                minsyncs, a_idx, phases, chosens,
+                _CachedStream(stream, cache), stream.lo,
+                stream.hi, max_syncs, final=True)
+            self._syncs = self._finalize(max_syncs)
+            return self._syncs
+
+        for ci, (s, e) in enumerate(plan):
+            if resident:
+                # capture already in HBM: slice on device, unpack in the
+                # fused block pipeline
+                x = self.src.read_raw_device(s, e)
+            elif use_raw:
+                x = hostio.device_put_u8(self.src.read_raw(s, e))
             else:
                 x = hostio.device_put(self.src.read(s, e), dtype=self.dtype)
-            # chunk-local NCO phase (reference quirk: no chunker)
             if self.freq_fn is not None:
+                # Doppler path: per-sample frequency track (host-computed),
+                # mixed outside the fused pipeline
+                if x.dtype == jnp.uint8:
+                    x = jax.jit(unpack.iq_u8_to_complex)(x)
                 freqs = self.freq_fn(ci, len(plan), e - s)
                 x = nco.mix_array_freq(x, jnp.asarray(freqs, jnp.float32),
                                        self.src.sampFreq, start=0)
-            elif self.offset != 0.0:
-                anch = nco.phase_anchors(self.offset, self.src.sampFreq, 0, e - s)
-                x = nco.mix(x, np.float32(-2 * np.pi * self.offset
-                                          / self.src.sampFreq), jnp.asarray(anch))
-            x, lp_state = lp.apply(x, lp_state)
+                blk_omega, anch = 0.0, no_anch
+            elif omega != 0.0:
+                # chunk-local NCO phase (reference quirk: no chunker);
+                # anchors depend only on the block LENGTH (local indices)
+                if (e - s) not in anch_cache:
+                    anch_cache[e - s] = hostio.device_put(
+                        nco.phase_anchors(self.offset, self.src.sampFreq,
+                                          0, e - s))
+                blk_omega, anch = omega, anch_cache[e - s]
+            else:
+                blk_omega, anch = 0.0, no_anch
 
-            if parallel:
-                if filt_prefix is not None:
-                    xw = jnp.concatenate([filt_prefix, x])
-                    prefix = int(filt_prefix.shape[0])
-                else:
-                    xw, prefix = x, 0
-                outs, owned = symbol_scan_segments(
-                    p, xw, sync_j, sync1_j, self.n_segments,
-                    self.warmup_symbols, owned_start=prefix, mesh=self.mesh)
-                # ONE download for all segments' symbol streams
-                pk = hostio.device_get(pack_symbol_outs_owned(outs, owned))
-                _, ai_all, ph_all, ch_all, mf_all = unpack_symbol_outs(pk)
-                ow = pk[..., 6] > 0.5
+            # ONE dispatch + ONE download per block
+            if parallel and self.mesh is None:
+                prefix = int(filt_prefix.shape[0])
+                packed, x_f, filt_prefix, lp_state = _block_pipeline_seg(
+                    p, lp, x, lp_state, blk_omega, anch, filt_prefix,
+                    self.n_segments, self.warmup_symbols, sync_j, sync1_j)
+                pk = hostio.device_get(packed)
+                _, ai_all, ph_all, ch_all, mf_all, ow = unpack_symbol_outs(pk)
                 seg_take = lambda col: np.concatenate(
                     [col[si][ow[si]] for si in range(self.n_segments)])
                 ai = seg_take(ai_all) - prefix + s
                 ph = seg_take(ph_all)
                 ch = seg_take(ch_all)
                 mf = seg_take(mf_all)
+            elif parallel:
+                # mesh-sharded segment scan (dryrun / pod path)
+                if x.dtype == jnp.uint8:
+                    x = jax.jit(unpack.iq_u8_to_complex)(x)
+                if blk_omega != 0.0:
+                    x = nco.mix(x, np.float32(blk_omega), anch)
+                x, lp_state = lp.apply(x, lp_state)
+                if int(filt_prefix.shape[0]):
+                    xw = jnp.concatenate([filt_prefix, x])
+                else:
+                    xw = x
+                prefix = int(filt_prefix.shape[0])
+                outs, owned = symbol_scan_segments(
+                    p, xw, sync_j, sync1_j, self.n_segments,
+                    self.warmup_symbols, owned_start=prefix, mesh=self.mesh)
+                pk = hostio.device_get(pack_symbol_outs_owned(outs, owned))
+                _, ai_all, ph_all, ch_all, mf_all, ow = unpack_symbol_outs(pk)
+                seg_take = lambda col: np.concatenate(
+                    [col[si][ow[si]] for si in range(self.n_segments)])
+                ai = seg_take(ai_all) - prefix + s
+                ph = seg_take(ph_all)
+                ch = seg_take(ch_all)
+                mf = seg_take(mf_all)
+                warm = int(self.warmup_symbols * p.symbol_period)
                 filt_prefix = xw[-warm:]
+                x_f = x
             else:
-                scan_state, outs = symbol_scan(p, x, scan_state, sync_j,
-                                               sync1_j)
-                pk = hostio.device_get(pack_symbol_outs(outs))
-                valid, ai_all, ph_all, ch_all, mf_all = unpack_symbol_outs(pk)
+                packed, x_f, lp_state, scan_state = _block_pipeline_seq(
+                    p, lp, x, lp_state, blk_omega, anch, scan_state,
+                    sync_j, sync1_j)
+                pk = hostio.device_get(packed)
+                (valid, ai_all, ph_all, ch_all, mf_all,
+                 _ow) = unpack_symbol_outs(pk)
                 ai = ai_all[valid] + s
                 ph = ph_all[valid]
                 ch = ch_all[valid]
                 mf = mf_all[valid]
-                # rebase the carried anchor into the next block's coordinates
-                scan_state = scan_state._replace(
-                    anchor=scan_state.anchor - jnp.int32(e - s))
             base_ctr = sum(len(a) for a in a_idx)
             a_idx.append(ai)
             phases.append(ph)
@@ -262,13 +555,13 @@ class PskSyncDetector:
                 minsyncs.append((base_ctr + k + 1, int(ai[k])))
 
             # pass 2 incremental processing with the available stream span
-            # (device-resident: only correlation windows cross the link)
-            stream = tail.extend(x, s)
+            # (device-resident blocks; only correlation windows download)
+            stream.append(x_f, s)
             max_syncs = self._drain_corr_jobs(
                 minsyncs, a_idx, phases, chosens, stream, stream.lo,
                 stream.hi, max_syncs,
                 final=(ci == len(plan) - 1))
-            tail = stream.keep_tail(max_win)
+            stream.prune(stream.hi - max_win)
 
         self._syncs = self._finalize(max_syncs)
         return self._syncs
@@ -438,10 +731,17 @@ class PskSyncDetector:
     def _correlate_vals(self, vals: np.ndarray, report_ws: int,
                         needle: np.ndarray) -> float:
         """|correlate('same')| argmax, reported as maxBuffStart + argmax
-        (ref decode_funcube.py:253-255)."""
-        cor = np.abs(np.asarray(corr_ops.correlate_same(
-            jnp.asarray(vals, jnp.float32),
-            jnp.asarray(needle, jnp.float32))))
+        (ref decode_funcube.py:253-255). Runs as a HOST FFT: the windows
+        are ~20k samples, and an eager device correlate costs a full RPC
+        round trip per frame over the tunnel. During a dry-run replay
+        (window prefetch discovery) the result is unused — skip."""
+        if getattr(self, "_dry_run", False):
+            return float(report_ws)
+        n, k = len(vals), len(needle)
+        m = 1 << max(n + k - 1, 2).bit_length()
+        full = np.fft.irfft(np.fft.rfft(vals, m)
+                            * np.fft.rfft(needle[::-1], m), m)[: n + k - 1]
+        cor = np.abs(full[(k - 1) // 2: (k - 1) // 2 + n])
         am = int(np.argmax(cor))
         if self.cfg.entries_per_sample == 1:
             return float(report_ws + am)

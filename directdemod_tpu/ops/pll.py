@@ -287,37 +287,43 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
 
 
 @jax.jit
-def pack_symbol_outs(outs: SymbolOut) -> jnp.ndarray:
+def pack_symbol_outs(outs: SymbolOut, owned=None) -> jnp.ndarray:
     """Pack the per-symbol output streams into ONE float32 tensor
-    (..., n_events, 6) = [valid, a_idx_hi, a_idx_lo, phase, chosen, minsync]
-    so the whole block's results cross the link in a single download
-    (five separate transfers — and the tunnel's per-transfer latency —
-    otherwise dominate short captures). a_idx rides as an exact (hi, lo)
-    f32 pair (see utils/hostio._pack_int)."""
+    (..., n_events, 3) = [flags<<14 | a_idx_hi, a_idx_lo, phase] so the whole
+    block's results cross the link in a single compact download (separate
+    transfers — and the tunnel's per-transfer latency — otherwise dominate
+    short captures; the download itself scales with capture length, so the
+    booleans ride as one bit-packed float). flags = valid | minsync<<1 |
+    chosen<<2 | owned<<4 (all < 2^5, exact in f32); a_idx rides as an
+    exact (hi, lo) f32 pair (see utils/hostio._pack_int)."""
     hi = jnp.floor_divide(outs.a_idx, 4096).astype(jnp.float32)
     lo = jnp.remainder(outs.a_idx, 4096).astype(jnp.float32)
-    return jnp.stack([outs.valid.astype(jnp.float32), hi, lo,
-                      outs.phase_out,
-                      outs.chosen.astype(jnp.float32),
-                      outs.minsync.astype(jnp.float32)], axis=-1)
+    flags = (outs.valid.astype(jnp.float32)
+             + 2.0 * outs.minsync.astype(jnp.float32)
+             + 4.0 * outs.chosen.astype(jnp.float32))
+    if owned is not None:
+        flags = flags + 16.0 * owned.astype(jnp.float32)
+    # flags (<32) fold into the hi field: flags*2^15 + hi < 2^20, exact in
+    # f32 for any a_idx < 2^27 = 134M samples (covers the whole-capture
+    # fast path's 128M cap; per-block paths are far smaller)
+    return jnp.stack([flags * 32768.0 + hi, lo, outs.phase_out], axis=-1)
 
 
 @jax.jit
 def pack_symbol_outs_owned(outs: SymbolOut, owned) -> jnp.ndarray:
-    """`pack_symbol_outs` plus the segment-ownership mask as column 6."""
-    base = pack_symbol_outs(outs)
-    return jnp.concatenate([base, owned.astype(jnp.float32)[..., None]],
-                           axis=-1)
+    """pack_symbol_outs with the segment-ownership mask in flags bit 4."""
+    return pack_symbol_outs(outs, owned)
 
 
 def unpack_symbol_outs(packed: np.ndarray):
     """Host-side inverse of pack_symbol_outs: returns (valid, a_idx, phase,
-    chosen, minsync) numpy arrays (unfiltered; apply the valid mask)."""
-    valid = packed[..., 0] > 0.5
-    a_idx = (packed[..., 1].astype(np.int64) * 4096
-             + packed[..., 2].astype(np.int64))
-    return (valid, a_idx, packed[..., 3],
-            packed[..., 4].astype(np.int64), packed[..., 5] > 0.5)
+    chosen, minsync, owned) numpy arrays (unfiltered; apply the masks).
+    `owned` is all-False unless the pack carried an ownership mask."""
+    col0 = packed[..., 0].astype(np.int64)
+    flags, hi = col0 // 32768, col0 % 32768
+    a_idx = hi * 4096 + packed[..., 1].astype(np.int64)
+    return ((flags & 1) > 0, a_idx, packed[..., 2],
+            (flags >> 2) & 3, (flags & 2) > 0, (flags & 16) > 0)
 
 
 def segment_plan(n: int, n_segments: int, warmup_symbols: int,

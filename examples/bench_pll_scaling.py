@@ -24,21 +24,40 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dur", type=float, default=None)
+    ap.add_argument("--host-source", action="store_true",
+                    help="feed from host memory instead of HBM-resident "
+                         "bytes (adds the upload to every timed run)")
     args = ap.parse_args()
 
+    import numpy as np
     import jax
     from test_psk_sync import _bpsk_capture, FS
     from directdemod_tpu import constants as K
-    from directdemod_tpu.io.sources import ArraySource
+    from directdemod_tpu.io.sources import ArraySource, DeviceRawSource
     from directdemod_tpu.models.funcube import FuncubeDecoder
 
     spacing = K.FUNCUBE_FRAME_SPACING_S
-    dur = args.dur or (2.0 + 2 * spacing + 1.2)
-    frames = [2.0 + k * spacing for k in range(3)
+    dur = args.dur or (2.0 + 5 * spacing + 1.2)
+    frames = [2.0 + k * spacing for k in range(32)
               if 2.0 + k * spacing + 1.0 < dur]
     cap = _bpsk_capture(frames, dur_s=dur)
-    src = ArraySource(cap, FS)
     dev = jax.devices()[0]
+
+    if args.host_source:
+        src = ArraySource(cap, FS)
+        upload_s = None
+    else:
+        # uint8-quantize like a real SDR capture and park the bytes in HBM
+        # ONCE: the timed runs then measure the scan + pass-2 scaling, not
+        # the dev tunnel's ~20-40 MB/s upload link (which is fixed cost and
+        # was the round-3 bench's dominant, segment-count-independent term)
+        raw = np.empty(2 * len(cap), np.uint8)
+        raw[0::2] = np.clip(np.round(cap.real + 127.5), 0, 255)
+        raw[1::2] = np.clip(np.round(cap.imag + 127.5), 0, 255)
+        t0 = time.perf_counter()
+        src = DeviceRawSource.from_host_bytes(raw, FS)
+        jax.block_until_ready(src._raw)
+        upload_s = round(time.perf_counter() - t0, 3)
 
     results = {}
     base_syncs = None
@@ -80,6 +99,8 @@ def main():
         "device": dev.device_kind,
         "capture_seconds": round(dur, 1),
         "capture_samples": len(cap),
+        "source": "host" if args.host_source else "device-resident",
+        "one_time_upload_s": upload_s,
         **results,
     }))
 

@@ -131,3 +131,24 @@ def test_pipeline_checkpoint_roundtrip(capture, tmp_path):
                             resume=True)
     resumed = np.concatenate([blocks_out, rest])
     assert np.array_equal(resumed, full)
+
+
+def test_fm_decoder_tone():
+    """FmDecoder end-to-end on a synthetic FM tone (the decode_fm chain,
+    ref decode_fm.py:61-70): recovered audio peaks at the modulating tone."""
+    import numpy as np
+    from directdemod_tpu.io.sources import ArraySource
+    from directdemod_tpu.models.fm import FmDecoder
+
+    fs, tone, dev = 2048000, 1200.0, 9000.0
+    n = fs  # 1 s
+    t = np.arange(n) / fs
+    ph = 2 * np.pi * 30000 * t + (dev / tone) * np.sin(2 * np.pi * tone * t)
+    iq = (90 * np.exp(1j * ph)).astype(np.complex64)
+    dec = FmDecoder(ArraySource(iq, fs), offset=30000, bw=60000,
+                    audio_freq=15000)
+    audio, rate = dec.get_audio()
+    assert rate > 0 and len(audio) > rate // 2
+    spec = np.abs(np.fft.rfft(audio[rate // 4:]))
+    peak = (np.argmax(spec[5:]) + 5) * rate / (len(audio) - rate // 4)
+    assert abs(peak - tone) < 30, peak
