@@ -110,8 +110,9 @@ def _tpu_chain_msamps(block: int = 20_000_000, k1: int = 4, k2: int = 16
     x = hostio.device_put((rng.standard_normal(block)
                            + 1j * rng.standard_normal(block))
                           .astype(np.complex64))
+    # + history-tail bytes: _pallas_u8_block expects [tail | block] layout
     raw = hostio.device_put_u8(
-        rng.integers(0, 256, 2 * block).astype(np.uint8))
+        rng.integers(0, 256, 2 * (block + 256)).astype(np.uint8))
 
     def slope_msps(chain):
         def timed(k):
