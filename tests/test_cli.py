@@ -128,3 +128,36 @@ def test_cli_funcube_segments(tmp_path):
     assert len(rows) == 2                      # header + one sync
     got = float(rows[1].split(",")[0])
     assert abs(got - syncs_seq[0]) < 0.01 * FS
+
+
+def test_cli_meteor_segments(tmp_path):
+    """--segments also reaches the meteor decoder: segment-parallel QPSK
+    decode from the CLI matches the sequential decoder API."""
+    from directdemod_tpu import constants as K
+    from directdemod_tpu.io.sources import ArraySource
+    from directdemod_tpu.models.meteorm2 import MeteorM2Decoder
+    from tests.test_psk_sync import _qpsk_capture
+    spacing = K.METEOR_FRAME_SPACING_S
+    frames = [0.5 + i * spacing for i in range(5)]
+    cap = _qpsk_capture(frames, dur_s=1.4)
+    seq = MeteorM2Decoder(ArraySource(cap, FS), 4000)
+    syncs_seq = seq.get_syncs()
+    assert len(syncs_seq) >= 2
+
+    path = str(tmp_path / "SDRSharp_20170830_073907Z_137896000Hz_IQ.dat")
+    u8 = np.empty(2 * len(cap), np.uint8)
+    u8[0::2] = np.clip(np.round(cap.real + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(cap.imag + 127.5), 0, 255).astype(np.uint8)
+    u8.tofile(path)
+    out = str(tmp_path / "mm")
+    report = str(tmp_path / "r.json")
+    rc = cli.main(["-c", "137896000", "-f", "137900000", "-d", "meteor",
+                   "--segments", "4", "-o", out, "-r", report, path])
+    assert rc == 0
+    ch = json.load(open(report))["channels"][0]
+    assert ch["usefulness"] == 1
+    rows = open(out + ".csv").read().strip().splitlines()[1:]
+    got = np.asarray([float(r.split(",")[0]) for r in rows])
+    # every sequential sync has a CLI counterpart nearby (re-lock tolerance)
+    for s0 in syncs_seq:
+        assert np.min(np.abs(got - s0)) < 0.02 * FS
