@@ -379,23 +379,67 @@ class NoaaDecoder:
         sync_time = K.NOAA_T * len(K.NOAA_SYNCA)
         width = int(3 * sync_time * fs)
 
+        # the min-distance grouping degenerates to one group per window
+        # whenever the group distance exceeds the window, making the whole
+        # per-window walk a batched argmax reduction (_accurate_fast_kernel)
+        fast = (self.mesh is None
+                and K.NOAA_MINPEAKDIST * fs >= 2 * width)
+        resident = callable(getattr(self.src, "read_raw_device", None))
+        raw_dev = (self.src.read_raw_device(0, self.src.length)
+                   if fast and resident else None)
+
         results = []
         for bits, syncs in ((K.NOAA_SYNCA, self._sync_a),
                             (K.NOAA_SYNCB, self._sync_b)):
             centers = np.asarray(syncs, dtype=np.float64) / self._sync_rate * fs
-            starts, wins = [], []
+            starts = []
             for c in centers:
                 s, e = int(c) - width, int(c) + width
                 if s < 0 or e > self.src.length:
                     continue
                 starts.append(s)
-                wins.append(self.src.read(s, e))
-            if not wins:
+            if not starts:
                 results.append(([], [], []))
                 continue
             needle = corr_ops.apt_needle(bits, fs, K.NOAA_T,
                                          positive=use_norm_correlate)
             nj = jnp.asarray(needle, dtype=jnp.float32)
+            ln = len(needle)
+
+            if fast:
+                # device windows (resident: gathered from HBM bytes) +
+                # one reduction dispatch + one tiny download per group
+                det, quals, tsyncs = [], [], []
+                for g0 in range(0, len(starts), 64):
+                    gs = starts[g0:g0 + 64]
+                    nw = len(gs)
+                    bucket = 1 << (nw - 1).bit_length()
+                    gs_pad = gs + [gs[0]] * (bucket - nw)
+                    if raw_dev is not None:
+                        hl = np.asarray(gs_pad, np.int64)
+                        hl = jnp.asarray(np.stack(
+                            [(hl // 4096).astype(np.float32),
+                             (hl % 4096).astype(np.float32)]))
+                        batch = _gather_iq_windows(raw_dev, hl, 2 * width)
+                    else:
+                        rows = np.stack([self.src.read(s0, s0 + 2 * width)
+                                         for s0 in gs_pad])
+                        batch = hostio.device_put(rows, dtype=self.dtype)
+                    met = hostio.device_get(_accurate_fast_kernel(
+                        batch, nj, (self.offset, float(fs)),
+                        use_norm_correlate, ln,
+                        float(K.NOAA_PEAKHEIGHTWIGGLE)))
+                    for row in range(nw):
+                        has, hi, lo, q, ts, ts_ok = met[row]
+                        if has < 0.5:
+                            continue
+                        det.append(int(hi) * 4096 + int(lo) + gs[row])
+                        quals.append(float(q))
+                        tsyncs.append(float(ts) if ts_ok > 0.5 else None)
+                results.append((det, quals, tsyncs))
+                continue
+
+            wins = [self.src.read(s0, s0 + 2 * width) for s0 in starts]
             env_rows, cor_rows = [], []
             if self.mesh is not None:
                 # windows are independent: shard the batch axis over `time`
@@ -439,11 +483,10 @@ class NoaaDecoder:
             cor_np = np.concatenate(cor_rows)
 
             det, quals, tsyncs = [], [], []
-            ln = len(needle)
             for row, s0 in enumerate(starts):
-                pk = peaks.find_sync_peaks(jnp.asarray(cor_np[row]), fs, ln,
-                                           K.NOAA_PEAKHEIGHTWIGGLE,
-                                           K.NOAA_MINPEAKDIST)
+                pk = peaks.host_find_sync_peaks(cor_np[row], fs, ln,
+                                                K.NOAA_PEAKHEIGHTWIGGLE,
+                                                K.NOAA_MINPEAKDIST)
                 if len(pk) == 0:
                     continue
                 p = int(pk[0])
@@ -546,6 +589,52 @@ def _accurate_window_envelope(batch, offset, fs):
         return am_ops.envelope(d)
 
     return jax.vmap(one)(mixed)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gather_iq_windows(raw, starts_hl, n_win: int):
+    """Gather fixed-width IQ windows straight from device-resident capture
+    bytes (no host round trip per window): (rows, n_win) complex. Starts
+    are sample indices as exact (hi, lo) f32 pairs."""
+    from ..ops import unpack
+    starts = ((starts_hl[0].astype(jnp.int32) * 4096
+               + starts_hl[1].astype(jnp.int32)) * 2)     # byte offsets
+    rows = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice(raw, (s0,), (2 * n_win,)))(starts)
+    return unpack.iq_u8_to_complex(rows, jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _accurate_fast_kernel(batch, nj, offset_fs: tuple, use_norm: bool,
+                          ln: int, wiggle: float):
+    """The whole per-window accurate-sync reduction in one dispatch.
+
+    Valid whenever NOAA_MINPEAKDIST * fs >= window length (true for the
+    reference constants: 0.45 s * 2.048 MHz = 921600 >> the 118k window):
+    the min-distance grouping then degenerates to one group per window, so
+    find_sync_peaks(cor_row)[0] == argmax(cor_row) - ln//2 exactly, the
+    quality sample cor[p + ln//2] is the max itself, and the "time sync"
+    is a windowed mean of the envelope. Returns (rows, 6) f32:
+    [has_peak, p_hi, p_lo, quality, tsync_mean, tsync_valid]."""
+    env, cor = _accurate_windows_batch(batch, nj, offset_fs, use_norm)
+    n = cor.shape[1]
+    fs = offset_fs[1]
+    k = int(2 * (n / fs)) + 2
+    top = jax.lax.top_k(cor, k)[0]
+    bot = -jax.lax.top_k(-cor, k)[0]
+    avg_t = jnp.sum(top, axis=-1) / k
+    avg_b = jnp.sum(bot, axis=-1) / k
+    thr = avg_t - wiggle * (avg_t - avg_b)
+    mx = jnp.max(cor, axis=-1)
+    am = jnp.argmax(cor, axis=-1).astype(jnp.int32)
+    p = am - ln // 2
+    ts_start = jnp.clip(p + ln, 0, n - ln)
+    ts = jax.vmap(lambda e, s0: jnp.mean(
+        jax.lax.dynamic_slice(e, (s0,), (ln,))))(env, ts_start)
+    hi = jnp.floor_divide(p, 4096).astype(jnp.float32)
+    lo = jnp.remainder(p, 4096).astype(jnp.float32)
+    return jnp.stack([(mx > thr).astype(jnp.float32), hi, lo, mx, ts,
+                      ((p + 2 * ln) < n).astype(jnp.float32)], axis=-1)
 
 
 @partial(jax.jit, static_argnums=(2, 3))

@@ -126,6 +126,32 @@ def find_sync_peaks(cor: jnp.ndarray, samp_rate: float, needle_len: int,
     return np.sort(peaks - needle_len // 2)
 
 
+def host_find_sync_peaks(cor: np.ndarray, samp_rate: float, needle_len: int,
+                         wiggle: float, min_dist_s: float) -> np.ndarray:
+    """find_sync_peaks computed entirely on the HOST for an already-downloaded
+    correlation row (the accurate-sync walk iterates many short windows; an
+    eager device call per row costs an RPC round trip over the tunnel).
+    Identical semantics: exact top-k adaptive threshold, candidates in index
+    order, min-distance grouping."""
+    cor = np.asarray(cor)
+    n = len(cor)
+    k = int(2 * (n / samp_rate)) + 2
+    if k >= n:
+        top = np.sort(cor)[::-1][:k]
+        bot = np.sort(cor)[:k]
+    else:
+        top = np.partition(cor, n - k)[n - k:]
+        bot = np.partition(cor, k - 1)[:k]
+    avg_top = float(np.sum(top) / k)
+    avg_bot = float(np.sum(bot) / k)
+    thr = avg_top - wiggle * (avg_top - avg_bot)
+    idx = np.flatnonzero(cor > thr)
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.int64)
+    grouped = group_peaks(idx, cor[idx], min_dist_s * samp_rate)
+    return np.sort(grouped - needle_len // 2)
+
+
 # --------------------------------------------------------------------- lookahead peaks
 
 @jax.jit

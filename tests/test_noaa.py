@@ -112,3 +112,30 @@ def test_crude_sync_overflow_fallback(decoded, monkeypatch):
     sa, sb = dec2.get_crude_sync()
     assert np.array_equal(sa, sa_ref)
     assert np.array_equal(sb, sb_ref)
+
+
+def test_accurate_sync_fast_path_matches_generic(decoded, monkeypatch):
+    """The batched argmax fast path (min_dist >= window) must produce exactly
+    the generic grouped-walk results on the same capture."""
+    from directdemod_tpu.models import noaa as noaa_mod
+    dec, _ = decoded
+    fast = dec.get_accurate_sync(use_norm_correlate=True)
+
+    iq, _ = synthesize(n_lines=12, snr_db=20)
+    dec2 = NoaaDecoder(ArraySource(iq, FS), 30000, dtype=jnp.complex64)
+    # Shrink NOAA_MINPEAKDIST just below the fast-path gate (gate needs
+    # v * fs >= 2*width = 118152 -> v >= 0.0577): the generic walk runs,
+    # and within a 118k window its grouping still forms one group unless
+    # two candidates sit ~the full window apart (not the case here), so
+    # the two paths must agree exactly.
+    orig = noaa_mod.K.NOAA_MINPEAKDIST
+    monkeypatch.setattr(noaa_mod.K, "NOAA_MINPEAKDIST", 0.0576, raising=True)
+    generic = dec2.get_accurate_sync(use_norm_correlate=True)
+    monkeypatch.setattr(noaa_mod.K, "NOAA_MINPEAKDIST", orig, raising=True)
+
+    assert fast[0] == generic[0]                         # A detections
+    assert np.allclose(fast[2], generic[2], rtol=1e-5)   # A quality
+    t_f = [x for x in fast[3] if x is not None]
+    t_g = [x for x in generic[3] if x is not None]
+    assert np.allclose(t_f, t_g, rtol=1e-5)              # A time syncs
+    assert fast[4] == generic[4]                         # B detections

@@ -223,3 +223,25 @@ class TestPeakCandidates:
             idx, vals = peaks.candidates_above(cor, jnp.float32(0.5), cap=16)
         assert np.array_equal(idx, np.arange(16))
         assert any("cap bound" in r.message for r in caplog.records)
+
+
+class TestPeaksHostTwin:
+    def test_host_find_sync_peaks_matches_device(self, rng):
+        """host_find_sync_peaks == find_sync_peaks on assorted rows (incl.
+        tiny rows where k >= n, flat rows, and dense-candidate rows)."""
+        import jax.numpy as jnp
+        from directdemod_tpu.ops import peaks
+
+        rate = 60235.0
+        cases = []
+        base = rng.standard_normal(120000).astype(np.float32) * 0.1
+        for pos in (5000, 60000, 110000):
+            row = base.copy()
+            row[pos:pos + 300] += np.linspace(0.5, 1.5, 300)
+            cases.append(row)
+        cases.append(rng.standard_normal(400).astype(np.float32))  # k >= n/150
+        cases.append(np.zeros(5000, np.float32))                   # flat
+        for row in cases:
+            a = peaks.find_sync_peaks(jnp.asarray(row), rate, 560, 0.25, 0.45)
+            b = peaks.host_find_sync_peaks(row, rate, 560, 0.25, 0.45)
+            np.testing.assert_array_equal(np.asarray(a), b)
