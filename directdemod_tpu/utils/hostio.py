@@ -102,11 +102,24 @@ def _u32_to_u8(words, n: int):
     return u8.reshape(u8.shape[:-2] + (-1,))[..., :n]
 
 
+# Per-dispatch cap on the u32->u8 bitcast: its (W, 4) u8 intermediate gets
+# a (..,128)-tiled layout on TPU, i.e. a 32x padded transient (measured: a
+# 1.23 GB capture's conversion tried to allocate 39 GB). Chunking bounds
+# the transient to ~2 GB; small buffers keep the single-dispatch path.
+_U8_CONVERT_CHUNK = 64 * (1 << 20)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _u32_to_u8_slice(words, off_w: int, n_bytes: int):
+    return _u32_to_u8(lax.dynamic_slice(words, (off_w,),
+                                        (n_bytes // 4,)), n_bytes)
+
+
 def device_put_u8(raw: np.ndarray, sharding=None):
     """Upload a uint8 byte buffer (last axis = bytes); over the tunnel (which
     rejects 8-bit transfers like it rejects complex64) the bytes ride as a
     uint32 view and are bitcast back on device -- link traffic stays
-    1 byte/byte."""
+    1 byte/byte. Buffers beyond _U8_CONVERT_CHUNK convert in chunks."""
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
     if not _needs_shim():
         arr = jnp.asarray(raw)
@@ -121,6 +134,14 @@ def device_put_u8(raw: np.ndarray, sharding=None):
         wd = jax.device_put(words, sharding)
         return jax.jit(_u32_to_u8, static_argnums=(1,),
                        out_shardings=sharding)(wd, n)
+    if raw.ndim == 1 and raw.shape[0] > _U8_CONVERT_CHUNK:
+        wd = jnp.asarray(words)
+        parts = []
+        for off in range(0, raw.shape[0], _U8_CONVERT_CHUNK):
+            nb = min(_U8_CONVERT_CHUNK, raw.shape[0] - off)
+            parts.append(_u32_to_u8_slice(wd, off // 4, nb))
+        out = jnp.concatenate(parts)
+        return out[:n] if out.shape[0] != n else out
     return jax.jit(_u32_to_u8, static_argnums=(1,))(jnp.asarray(words), n)
 
 

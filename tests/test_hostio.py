@@ -94,3 +94,15 @@ def test_global_get_single_process_passthrough():
     np.testing.assert_array_equal(hostio.global_get(x), np.arange(8.0))
     a = np.arange(4.0)
     assert hostio.global_get(a) is a
+
+
+def test_device_put_u8_chunked_conversion(monkeypatch):
+    """Large buffers convert u32->u8 in chunks (the single-dispatch bitcast's
+    (N,4) intermediate is 32x padded on TPU; a 1.23GB capture OOMed 16GB of
+    HBM before chunking). Forced-shim path, odd length."""
+    from directdemod_tpu.utils import hostio
+    monkeypatch.setattr(hostio, "_needs_shim", lambda: True)
+    monkeypatch.setattr(hostio, "_U8_CONVERT_CHUNK", 1 << 20)
+    raw = np.arange(3_000_005, dtype=np.int64).astype(np.uint8)
+    got = np.asarray(hostio.device_put_u8(raw))
+    np.testing.assert_array_equal(got, raw)
