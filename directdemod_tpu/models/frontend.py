@@ -140,6 +140,7 @@ class DdcFm:
         per-block ops dominated the resident wall clock (round-4 bench).
         Peak HBM is bounded by block 0's unpacked complex64 (~160 MB), not
         the capture size. Requires fm=True."""
+        from ..ops.pallas_ddc import ddc_fm_pallas_u8
         J, k = self.stride, len(self.taps_mod)
         b0 = min(n, PROC_CHUNKSIZE)
         hist = jnp.asarray(self.hist0, jnp.complex64)
@@ -149,19 +150,28 @@ class DdcFm:
                                      jnp.float32)
         out_len0 = rs.decim_count(b0, 0, J)
         c, _ = fir.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
-        audio0 = jnp.angle(c[1:] * jnp.conj(c[:-1]) * rot)
-        if b0 == n:
-            return audio0
-        off1 = rs.decim_phase(b0, J)
-        out_len1 = rs.decim_count(n - b0, off1, J)
-        from ..ops.pallas_ddc import ddc_fm_pallas_u8
-        raw_cat = lax.slice(raw, (2 * (b0 - (k - 1)),), (2 * n,))
-        need = 2 * ((out_len1 - 1) * J + k)
-        seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)),
-                                (2 * off1,), (need,))
-        audio1, _ = ddc_fm_pallas_u8(seg, tm[::-1], rot, c[-1:], J,
-                                     out_len1, interpret)
-        return jnp.concatenate([audio0, audio1])
+        audios = [jnp.angle(c[1:] * jnp.conj(c[:-1]) * rot)]
+        # the remainder runs as PROC_CHUNKSIZE-bounded Pallas calls (static
+        # unrolled loop): one whole-remainder call OOMs at full-pass scale —
+        # the kernel's (out_len, 1) f32 outputs get a 128x-padded layout —
+        # and chunking at the SAME boundaries as the file-fed DdcFmStream
+        # keeps the two paths block-for-block identical, c_last recompute
+        # included
+        cp = c[-1:]
+        pos = b0
+        while pos < n:
+            e = min(n, pos + PROC_CHUNKSIZE)
+            off = rs.decim_phase(pos, J)
+            out_len = rs.decim_count(e - pos, off, J)
+            raw_cat = lax.slice(raw, (2 * (pos - (k - 1)),), (2 * e,))
+            need = 2 * ((out_len - 1) * J + k)
+            seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)),
+                                    (2 * off,), (need,))
+            audio_i, cp = ddc_fm_pallas_u8(seg, tm[::-1], rot, cp, J,
+                                           out_len, interpret)
+            audios.append(audio_i)
+            pos = e
+        return audios[0] if len(audios) == 1 else jnp.concatenate(audios)
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
                 dtype=jnp.complex64, raw: bool | str = "auto",
