@@ -287,12 +287,20 @@ class _Calib:
 
     def update_from_sync_train(self, line_matrix: np.ndarray) -> None:
         """Re-estimate low/high from the known sync-train bits of a detected
-        (not synthesized) line (ref decode_noaa.py:357-369)."""
-        for j, bit in enumerate(K.NOAA_SYNCA):
-            vals = line_matrix[j]
-            (self.low_fifo if bit == 0 else self.high_fifo).extend(vals)
-            self.low_fifo = self.low_fifo[-self.fifo_len:]
-            self.high_fifo = self.high_fifo[-self.fifo_len:]
+        (not synthesized) line (ref decode_noaa.py:357-369).
+
+        The reference extends and re-trims the FIFOs per sync bit; batching
+        to one concatenate+trim per FIFO per line leaves the final contents
+        (and hence the medians) identical — row order is preserved within
+        each bit class — while cutting the walk's Python-list overhead
+        (~2 s of a 600-line image's host time)."""
+        bits = np.asarray(K.NOAA_SYNCA)
+        lows = np.asarray(line_matrix)[bits == 0].ravel()
+        highs = np.asarray(line_matrix)[bits == 1].ravel()
+        self.low_fifo = np.concatenate(
+            [np.asarray(self.low_fifo), lows])[-self.fifo_len:]
+        self.high_fifo = np.concatenate(
+            [np.asarray(self.high_fifo), highs])[-self.fifo_len:]
         v11 = float(np.median(self.low_fifo))
         v244 = float(np.median(self.high_fifo))
         span = (v244 - v11) / (244.0 - 11.0)
