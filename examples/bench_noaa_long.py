@@ -71,6 +71,8 @@ def synth_long_bytes(n_lines: int, fs: int = 2048000,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=5.0)
+    ap.add_argument("--cache", type=str, default=None,
+                    help="path to cache the synthesized byte capture")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +82,12 @@ def main():
     fs = 2048000
     n_lines = int(args.minutes * 60 * 2)
     t0 = time.perf_counter()
-    raw = synth_long_bytes(n_lines, fs)
+    if args.cache and os.path.exists(args.cache):
+        raw = np.fromfile(args.cache, dtype=np.uint8)
+    else:
+        raw = synth_long_bytes(n_lines, fs)
+        if args.cache:
+            raw.tofile(args.cache)
     synth_s = time.perf_counter() - t0
     capture_s = len(raw) / 2 / fs
     print(json.dumps({"phase": "synth", "seconds": round(synth_s, 1),

@@ -155,3 +155,20 @@ def test_afsk_partial_and_overlapping_frames():
     dec = Afsk1200Decoder(ArraySource(iq, FS), 12000)
     assert dec.get_msg() == "good frame"
     assert dec.useful == 1
+
+
+# --------------------------------------------------------------------- PSK
+
+@pytest.mark.slow
+def test_funcube_noise_only():
+    """Pure noise: no frames detected, usefulness 0, clean exit (the PSK
+    equivalent of the NOAA noise-capture CLI test)."""
+    from directdemod_tpu.models.funcube import FuncubeDecoder
+    rng = np.random.default_rng(3)
+    n = int(2.0 * FS)
+    iq = (60.0 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    dec = FuncubeDecoder(ArraySource(iq, FS), 5000)
+    syncs = dec.get_syncs()
+    assert dec.useful == 0
+    assert len(syncs) <= 2        # spurious triggers possible, never "useful"
