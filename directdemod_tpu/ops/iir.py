@@ -168,7 +168,11 @@ class IirFilter:
 
         xb = jnp.pad(x, (0, nb * L - n)).reshape(nb, L)
         f = xb @ Gj                                       # (nb, 2)
-        _, s_hist = lax.scan(lambda s, fj: (s @ ALj.T + fj, s), z.astype(f.dtype), f)
+        # unroll: each TPU while-loop trip costs ~0.1 ms of fixed overhead,
+        # which dominated this tiny (2,)@(2,2) body (a 18.4M-sample filtfilt
+        # spent ~3 s here); unrolling changes no arithmetic
+        _, s_hist = lax.scan(lambda s, fj: (s @ ALj.T + fj, s),
+                             z.astype(f.dtype), f, unroll=32)
 
         conv = jnp.fft.ifft(jnp.fft.fft(xb.astype(cdt), n=m, axis=-1) * hf,
                             axis=-1)[:, :L]
