@@ -23,6 +23,11 @@ from directdemod_tpu.parallel.mesh import make_mesh
 from directdemod_tpu.stream.api import Stream
 
 file_name = sys.argv[1] if len(sys.argv) > 1 else "IQ.wav"
+if file_name == "IQ.wav":
+    import os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _sample import ensure_capture
+    ensure_capture(file_name)
 src = sources.open_source(file_name)
 
 chain = (Stream(src)
