@@ -595,12 +595,17 @@ def _accurate_window_envelope(batch, offset, fs):
 def _gather_iq_windows(raw, starts_hl, n_win: int):
     """Gather fixed-width IQ windows straight from device-resident capture
     bytes (no host round trip per window): (rows, n_win) complex. Starts
-    are sample indices as exact (hi, lo) f32 pairs."""
+    are SAMPLE indices as exact (hi, lo) f32 pairs; the gather runs on a
+    (n, 2) byte view so the index stays a sample count — a byte offset
+    (2x) would overflow int32 past 2^30 samples (~8.7 min), and 10-minute
+    passes are in scope."""
     from ..ops import unpack
-    starts = ((starts_hl[0].astype(jnp.int32) * 4096
-               + starts_hl[1].astype(jnp.int32)) * 2)     # byte offsets
-    rows = jax.vmap(
-        lambda s0: jax.lax.dynamic_slice(raw, (s0,), (2 * n_win,)))(starts)
+    starts = (starts_hl[0].astype(jnp.int32) * 4096
+              + starts_hl[1].astype(jnp.int32))
+    pairs = raw.reshape(-1, 2)
+    rows = jax.vmap(lambda s0: jax.lax.dynamic_slice(
+        pairs, (s0, jnp.int32(0)), (n_win, 2)))(starts)
+    rows = rows.reshape(rows.shape[0], 2 * n_win)   # row-major: interleaved
     return unpack.iq_u8_to_complex(rows, jnp.float32)
 
 

@@ -139,3 +139,22 @@ def test_accurate_sync_fast_path_matches_generic(decoded, monkeypatch):
     t_g = [x for x in generic[3] if x is not None]
     assert np.allclose(t_f, t_g, rtol=1e-5)              # A time syncs
     assert fast[4] == generic[4]                         # B detections
+
+
+def test_accurate_sync_resident_gather(decoded):
+    """Resident sources gather accurate-sync windows straight from HBM
+    bytes (_gather_iq_windows); results must equal the host-read path on
+    the byte-identical capture."""
+    from directdemod_tpu.io.sources import DeviceRawSource
+    dec, _ = decoded
+    ref = dec.get_accurate_sync(use_norm_correlate=True)
+
+    iq, _ = synthesize(n_lines=12, snr_db=20)
+    raw = np.empty(2 * len(iq), np.uint8)
+    raw[0::2] = np.round(iq.real + 127.5).astype(np.uint8)
+    raw[1::2] = np.round(iq.imag + 127.5).astype(np.uint8)
+    src = DeviceRawSource.from_host_bytes(raw, FS)
+    dec2 = NoaaDecoder(src, 30000, dtype=jnp.complex64)
+    got = dec2.get_accurate_sync(use_norm_correlate=True)
+    assert got[0] == ref[0] and got[4] == ref[4]       # detections A/B
+    assert np.allclose(got[2], ref[2], rtol=1e-5)      # quality
