@@ -127,20 +127,25 @@ class DdcFm:
                                       bool(start == 0))
         return y, (hist2, c_last)
 
-    @partial(jax.jit, static_argnums=(0, 2, 3))
-    def resident_frontend(self, raw, n: int, interpret: bool = False):
+    @partial(jax.jit, static_argnums=(0, 2, 3, 4))
+    def resident_frontend(self, raw, n: int, interpret: bool = False,
+                          backend: str = "gemm_u8"):
         """Whole-capture fused front end for a DEVICE-RESIDENT raw-byte
         capture, in ONE dispatch: block 0 (PROC_CHUNKSIZE samples) runs the
-        XLA step from the virtual warmup history, the entire remainder runs
-        as a single Pallas u8 kernel call (its sequential grid needs no
-        block boundaries). Per-output windows are the identical 151-tap
+        XLA step from the virtual warmup history, the remainder runs as
+        PROC_CHUNKSIZE-bounded fused unpack+DDC+FM kernel calls unrolled
+        inside the same jit. Per-output windows are the identical 151-tap
         dots the blocked DdcFmStream computes, so the two paths are
         bit-identical; this one exists because over the tunnel every eager
         dispatch costs a ~0.3-1 s RPC round trip and the blocked loop's
         per-block ops dominated the resident wall clock (round-4 bench).
-        Peak HBM is bounded by block 0's unpacked complex64 (~160 MB), not
-        the capture size. Requires fm=True."""
+        Peak HBM is bounded per chunk, not by the capture size.
+
+        `backend`: 'gemm_u8' (default) runs the dense byte-matmul lowering
+        (ops/ddc_conv, ~45 Gsamp/s on v5e — BENCH_PALLAS_r05); 'pallas_u8'
+        the round-4 Pallas kernel (~3.7 Gsamp/s). Requires fm=True."""
         from ..ops.pallas_ddc import ddc_fm_pallas_u8
+        from ..ops.ddc_conv import byte_plan, ddc_fm_bytes
         J, k = self.stride, len(self.taps_mod)
         b0 = min(n, PROC_CHUNKSIZE)
         hist = jnp.asarray(self.hist0, jnp.complex64)
@@ -151,12 +156,13 @@ class DdcFm:
         out_len0 = rs.decim_count(b0, 0, J)
         c, _ = fir.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
         audios = [jnp.angle(c[1:] * jnp.conj(c[:-1]) * rot)]
-        # the remainder runs as PROC_CHUNKSIZE-bounded Pallas calls (static
-        # unrolled loop): one whole-remainder call OOMs at full-pass scale —
-        # the kernel's (out_len, 1) f32 outputs get a 128x-padded layout —
-        # and chunking at the SAME boundaries as the file-fed DdcFmStream
-        # keeps the two paths block-for-block identical, c_last recompute
-        # included
+        # the remainder runs as PROC_CHUNKSIZE-bounded kernel calls (static
+        # unrolled loop): chunking bounds peak HBM (the gemm path's bf16 row
+        # copy, the pallas path's 128x-padded outputs) and keeps the two
+        # paths block-for-block identical to the file-fed DdcFmStream,
+        # c_last recompute included
+        plan = (byte_plan(self.taps_mod[::-1], J) if backend == "gemm_u8"
+                else None)
         cp = c[-1:]
         pos = b0
         while pos < n:
@@ -167,8 +173,11 @@ class DdcFm:
             need = 2 * ((out_len - 1) * J + k)
             seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)),
                                     (2 * off,), (need,))
-            audio_i, cp = ddc_fm_pallas_u8(seg, tm[::-1], rot, cp, J,
-                                           out_len, interpret)
+            if backend == "gemm_u8":
+                audio_i, cp = ddc_fm_bytes(plan, seg, rot, cp, out_len)
+            else:
+                audio_i, cp = ddc_fm_pallas_u8(seg, tm[::-1], rot, cp, J,
+                                               out_len, interpret)
             audios.append(audio_i)
             pos = e
         return audios[0] if len(audios) == 1 else jnp.concatenate(audios)
@@ -195,11 +204,12 @@ class DdcFmStream:
     """Streaming front-end driver choosing the fastest kernel per block.
 
     Block 0 (and any non-raw block) runs the XLA `DdcFm._step`; steady-state
-    raw-uint8 blocks run the fused unpack+DDC+FM Pallas kernel
-    (ops/pallas_ddc.ddc_fm_pallas_u8), which reads 2 B/sample from HBM and
-    measured 6.6x the XLA polyphase lowering on v5e (BENCH_PALLAS_r04).
+    raw-uint8 blocks run a fused unpack+DDC+FM kernel reading 2 B/sample
+    from HBM. Two fused backends exist: 'gemm_u8' (ops/ddc_conv — the dense
+    byte-matmul lowering, ~45 Gsamp/s on v5e, BENCH_PALLAS_r05) and
+    'pallas_u8' (ops/pallas_ddc — the round-4 Pallas kernel, ~3.7 Gsamp/s).
 
-    backend='auto' selects Pallas on the TPU backend when `fm` is set and
+    backend='auto' selects gemm_u8 on the TPU backend when `fm` is set and
     the stream feeds raw bytes; 'xla' forces the polyphase path;
     'pallas_u8' forces the Pallas kernel (interpret=True for CPU tests).
     The first block always takes XLA: its warmup history is the virtual
@@ -212,7 +222,7 @@ class DdcFmStream:
                  backend: str = "auto", interpret: bool = False):
         import jax as _jax
         if backend == "auto":
-            backend = ("pallas_u8"
+            backend = ("gemm_u8"
                        if fe.fm and _jax.default_backend() == "tpu"
                        else "xla")
         self.fe = fe
@@ -236,7 +246,7 @@ class DdcFmStream:
         fe = self.fe
         k = len(fe.taps_mod)
         is_u8 = x.dtype == jnp.uint8
-        if (self.backend == "pallas_u8" and is_u8 and s > 0
+        if (self.backend in ("pallas_u8", "gemm_u8") and is_u8 and s > 0
                 and self.raw_hist is not None):
             n = int(x.shape[0]) // 2
             off = rs.decim_phase(s, fe.stride)
@@ -245,10 +255,18 @@ class DdcFmStream:
             # ONE dispatch per block: history concat + kernel + tail slice
             # all live inside the jit (each eager device op costs a full
             # RPC round trip over the tunnel)
-            y, c_last, tail = _pallas_u8_step(
-                self.raw_hist, x, taps_rev, rot,
-                self.state[1].astype(jnp.complex64), jnp.int32(off),
-                fe.stride, out_len, self.interpret)
+            if self.backend == "gemm_u8":
+                from ..ops.ddc_conv import byte_plan
+                y, c_last, tail = _gemm_u8_step(
+                    byte_plan(fe.taps_mod[::-1], fe.stride),
+                    self.raw_hist, x, rot,
+                    self.state[1].astype(jnp.complex64), jnp.int32(off),
+                    fe.stride, out_len, k)
+            else:
+                y, c_last, tail = _pallas_u8_step(
+                    self.raw_hist, x, taps_rev, rot,
+                    self.state[1].astype(jnp.complex64), jnp.int32(off),
+                    fe.stride, out_len, self.interpret)
             # the complex conv history stays DERIVABLE from the raw tail
             # (see class doc); it is materialized lazily only if a later
             # block falls back to the XLA step
@@ -292,4 +310,18 @@ def _pallas_u8_step(raw_hist, x_u8, taps_rev, rot, c_prev, off, stride: int,
     raw_cat = jnp.concatenate([raw_hist, x_u8])
     audio, c_last = _pallas_u8_block(raw_cat, taps_rev, rot, c_prev, off,
                                      stride, out_len, interpret)
+    return audio, c_last, x_u8[-2 * (k - 1):]
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def _gemm_u8_step(plan, raw_hist, x_u8, rot, c_prev, off, stride: int,
+                  out_len: int, k: int):
+    """_pallas_u8_step on the dense byte-matmul backend (ops/ddc_conv):
+    identical window contract, identical (audio, c_last, tail) returns."""
+    from ..ops.ddc_conv import ddc_fm_bytes
+    raw_cat = jnp.concatenate([raw_hist, x_u8])
+    need = 2 * ((out_len - 1) * stride + k)
+    seg = jax.lax.dynamic_slice(
+        jnp.pad(raw_cat, (0, 2 * stride)), (2 * off,), (need,))
+    audio, c_last = ddc_fm_bytes(plan, seg, rot, c_prev, out_len)
     return audio, c_last, x_u8[-2 * (k - 1):]
