@@ -88,7 +88,7 @@ def _feed_chain_msamps(n: int = 200_000_000, block: int = 20_000_000) -> float:
 
 
 def _tpu_chain_msamps(block: int = 20_000_000, k1: int = 4, k2: int = 16
-                      ) -> tuple[float, float, str]:
+                      ) -> tuple[float, float, float, str, dict]:
     """Steady-state device-resident throughput of the production front-end.
 
     Timing method (round 4): `block_until_ready` over the axon tunnel is NOT
@@ -96,12 +96,18 @@ def _tpu_chain_msamps(block: int = 20_000_000, k1: int = 4, k2: int = 16
     HBM roofline), so every timed region ends with a device->host download
     of a scalar reduction of the final output, and the per-block cost is
     the SLOPE between a short and a long chain (cancels fixed RPC latency).
-    Returns (pallas_u8_msps, xla_msps, device_kind) — the Pallas u8 kernel
-    is the production steady-state backend (models/frontend.DdcFmStream)."""
+    Returns (gemm_u8_msps, pallas_u8_msps, xla_msps, device_kind, roofline)
+    — the dense byte-matmul gemm_u8 path (ops/ddc_conv) is the production
+    steady-state backend (models/frontend.DdcFmStream) since round 5; the
+    round-4 Pallas kernel and the XLA polyphase ride along for comparison.
+    `roofline` quantifies the winner against the v5e HBM ingest bound and
+    reports both algorithmic and MXU-dispatched FLOP rates (VERDICT r04 #1:
+    the gap must be visible in artifacts)."""
     import jax
     import jax.numpy as jnp
     from directdemod_tpu.models.frontend import DdcFm, _pallas_u8_block
     from directdemod_tpu.ops import design
+    from directdemod_tpu.ops.ddc_conv import byte_plan, ddc_fm_bytes
     from directdemod_tpu.utils import hostio
 
     dev = jax.devices()[0]
@@ -147,7 +153,36 @@ def _tpu_chain_msamps(block: int = 20_000_000, k1: int = 4, k2: int = 16
                                          False)
         return jnp.sum(audio)
 
-    return slope_msps(chain_pallas), slope_msps(chain_xla), dev.device_kind
+    plan = byte_plan(fe.taps_mod[::-1], fe.stride)
+    rot_np = np.complex64(fe.rot)
+    run_gemm = jax.jit(lambda rr, cp: ddc_fm_bytes(
+        plan, rr, rot_np, cp, out_len))
+
+    def chain_gemm(k):
+        cp, audio = cp0, None
+        for _ in range(k):
+            audio, cp = run_gemm(raw, cp)
+        return jnp.sum(audio)
+
+    gemm = slope_msps(chain_gemm)
+    # roofline accounting for the production (gemm_u8) path on v5e:
+    #   ingest        2 B/sample raw-u8 HBM read (819 GB/s spec bound)
+    #   algorithmic   8*K/J real FLOP per input sample (complex 151-tap dot
+    #                 per kept output)
+    #   mxu           what the structured GEMM actually dispatches:
+    #                 2 * W*128 * 2 MACs per output * nsplit passes
+    k_taps, j = len(fe.taps_mod), fe.stride
+    alg_flops = gemm * 1e6 * 8.0 * k_taps / j
+    mxu_flops = (gemm * 1e6 / j) * (2.0 * plan.W * 128 * 2) * plan.nsplit
+    roofline = {
+        "hbm_ingest_gb_s": round(gemm * 2 / 1e3, 1),
+        "pct_of_hbm_roofline_819gbs": round(gemm * 2 / 1e3 / 819 * 100, 1),
+        "algorithmic_gflop_s": round(alg_flops / 1e9, 1),
+        "mxu_dispatched_gflop_s": round(mxu_flops / 1e9, 1),
+        "pct_of_mxu_bf16_197tflops": round(mxu_flops / 197e12 * 100, 1),
+    }
+    return gemm, slope_msps(chain_pallas), slope_msps(chain_xla), \
+        dev.device_kind, roofline
 
 
 def _link_mb_s(mb: int = 64) -> tuple[float, float]:
@@ -198,11 +233,12 @@ def _last_recorded_feed():
 
 def main() -> int:
     last_err = None
-    value = xla_value = device = None
+    value = pallas_value = xla_value = device = roofline = None
     for attempt in range(3):           # the dev tunnel wedges transiently
         try:
             with watchdog(900, "device chain bench"):
-                value, xla_value, device = _tpu_chain_msamps()
+                (value, pallas_value, xla_value, device,
+                 roofline) = _tpu_chain_msamps()
             break
         except Exception as e:
             last_err = e
@@ -247,13 +283,17 @@ def main() -> int:
         # `value` times device-resident blocks (per-chip compute); the feed-
         # inclusive number below covers file -> device -> audio end to end.
         # Since round 4 the timing is slope-based through a download barrier
-        # (block_until_ready is not a reliable barrier over the tunnel), and
-        # `value` is the production Pallas-u8 steady-state kernel; the XLA
-        # polyphase lowering rides along for comparison.
+        # (block_until_ready is not a reliable barrier over the tunnel);
+        # since round 5 `value` is the production gemm_u8 steady-state
+        # backend (dense byte-matmul, ops/ddc_conv); the round-4 Pallas
+        # kernel and the XLA polyphase lowering ride along for comparison.
         "measures": ("device-resident 20M-sample blocks, steady state, "
-                     "pallas_u8 backend, slope-timed w/ download barrier"),
+                     "gemm_u8 backend, slope-timed w/ download barrier"),
+        "pallas_u8_msamples_per_s": (round(pallas_value, 1)
+                                     if pallas_value else None),
         "xla_polyphase_msamples_per_s": (round(xla_value, 1)
                                          if xla_value else None),
+        **(roofline or {}),
         "feed_inclusive_msamples_per_s": round(feed, 1) if feed else None,
         # the environment bound on any feed-inclusive number (2 B/sample)
         "link_upload_mb_s": round(link_up, 1) if link_up else None,
