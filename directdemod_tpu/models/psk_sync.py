@@ -275,6 +275,150 @@ def _prefetch_windows(chain: _DeviceStreamChain, ranges: list) -> dict:
     return cache
 
 
+class _CoverageError(Exception):
+    """A sparse symbol view was asked for data outside its gathered spans
+    (margins too tight); the caller falls back to the dense download."""
+
+
+class _DenseSymbols:
+    """Pass-2 symbol-stream view over fully downloaded per-chunk arrays."""
+
+    def __init__(self, a_chunks, ph_chunks, ch_chunks):
+        self.a = np.concatenate(a_chunks) if a_chunks else np.empty(0)
+        self.ph = np.concatenate(ph_chunks) if ph_chunks else np.empty(0)
+        self.ch = (np.concatenate(ch_chunks) if ch_chunks
+                   else np.empty(0, np.int64))
+
+    def sym_sample(self, j: int):
+        """Global sample of 0-based symbol j (ctr becomes j+1 there)."""
+        return int(self.a[j]) if 0 <= j < len(self.a) else None
+
+    def phase_at(self, n_arr: np.ndarray) -> np.ndarray:
+        """PLL phase in effect at samples n_arr: the phase of the last
+        symbol with a_idx < n (pllObj.output is updated when a symbol
+        processes -- ref decode_funcube.py:61)."""
+        pos = np.searchsorted(self.a, n_arr, side="left") - 1
+        return np.where(pos >= 0, self.ph[np.clip(pos, 0, None)], 0.0)
+
+    def chosen_before(self, n: int) -> int:
+        pos = np.searchsorted(self.a, n, side="left") - 1
+        return int(self.ch[pos]) if pos >= 0 else 0
+
+
+class _SparseSymbols:
+    """Pass-2 symbol view backed by gathered SPANS of the symbol table.
+
+    The arming/countdown replay reads symbol data only near minsync events
+    (the symbol->sample map at arm boundaries, phases over correlation
+    windows, the needle choice at window end) -- KBs of a multi-MB stream.
+    Spans are (j0, a, ph, ch) with j0 the 0-based global symbol index of the
+    span's first entry; every lookup VERIFIES the answer is determined by the
+    gathered data (the true predecessor is in-span or provably the global
+    last) and raises _CoverageError otherwise, so a margin miss degrades to
+    the exact dense path instead of a silent wrong answer."""
+
+    def __init__(self, spans: list, total: int):
+        spans = sorted(spans, key=lambda s: s[0])
+        self.total = int(total)
+        self._j0s = [s[0] for s in spans]
+        if spans:
+            self.a = np.concatenate([s[1] for s in spans])
+            self.ph = np.concatenate([s[2] for s in spans])
+            self.ch = np.concatenate([s[3] for s in spans])
+            self.g = np.concatenate([s[0] + np.arange(len(s[1]))
+                                     for s in spans])
+        else:
+            self.a = np.empty(0)
+            self.ph = np.empty(0)
+            self.ch = np.empty(0, np.int64)
+            self.g = np.empty(0, np.int64)
+
+    def sym_sample(self, j: int):
+        if j >= self.total:
+            return None
+        pos = np.searchsorted(self.g, j)
+        if pos < len(self.g) and self.g[pos] == j:
+            return int(self.a[pos])
+        raise _CoverageError(f"symbol {j} not gathered")
+
+    def _pred(self, n_arr: np.ndarray) -> np.ndarray:
+        """Concat-index of the predecessor symbol (a < n), -1 for none;
+        raises unless the answer is determined by the gathered spans."""
+        n_arr = np.asarray(n_arr)
+        pos = np.searchsorted(self.a, n_arr, side="left") - 1
+        if len(self.a) == 0:
+            if self.total == 0:
+                return np.full(n_arr.shape, -1, np.int64)
+            raise _CoverageError("empty sparse view, nonempty stream")
+        none_ok = (self.g[0] == 0)       # span 0 starts at global symbol 0
+        bad_none = (pos < 0) & ~none_ok
+        g = self.g[np.clip(pos, 0, None)]
+        nxt = np.concatenate([self.g[1:], [-2]])[np.clip(pos, 0, None)]
+        determined = (g == self.total - 1) | (nxt == g + 1)
+        bad = (pos >= 0) & ~determined
+        if np.any(bad_none) or np.any(bad):
+            raise _CoverageError("predecessor lookup outside gathered spans")
+        return pos
+
+    def phase_at(self, n_arr: np.ndarray) -> np.ndarray:
+        pos = self._pred(n_arr)
+        return np.where(pos >= 0, self.ph[np.clip(pos, 0, None)], 0.0)
+
+    def chosen_before(self, n: int) -> int:
+        pos = int(self._pred(np.asarray([n]))[0])
+        return int(self.ch[pos]) if pos >= 0 else 0
+
+
+# minsync-event cap for the sparse pass-2 path; more events than this (a
+# pathological capture) falls back to the dense download, which is exact
+_MAX_EVENTS = 4096
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _events_and_table(packed, max_ev: int, use_owned: bool):
+    """Device-side compaction of the packed symbol tensor into
+      * a small event record (minsync ctr + sample, f32-exact) ready to
+        download, with [n_events, n_symbols] appended, and
+      * the dense per-symbol table [chosen*2^15 + a_hi, a_lo, phase] that
+        STAYS ON DEVICE for span gathers (_gather_table_rows).
+    Ordering matches the host-side seg_take/valid concatenation exactly
+    (seg-major flatten of the owned/valid symbols)."""
+    pk = packed.reshape(-1, 3).astype(jnp.float32)
+    col0 = pk[:, 0]
+    flags = jnp.floor(col0 / 32768.0)
+    hi = col0 - flags * 32768.0
+    fl = flags.astype(jnp.int32)
+    valid = (fl & 1) > 0
+    mask = ((fl & 16) > 0) if use_owned else valid
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    n_sym = csum[-1]
+    n = pk.shape[0]
+    ch = (fl >> 2) & 3
+    rows = jnp.stack([ch.astype(jnp.float32) * 32768.0 + hi,
+                      pk[:, 1], pk[:, 2]], axis=-1)
+    idx = jnp.where(mask, csum - 1, n)
+    tbl = jnp.zeros((n, 3), jnp.float32).at[idx].set(rows, mode="drop")
+    em = mask & ((fl & 2) > 0)
+    ecs = jnp.cumsum(em.astype(jnp.int32))
+    n_ev = ecs[-1]
+    erows = jnp.stack([csum.astype(jnp.float32), hi, pk[:, 1]], axis=-1)
+    eidx = jnp.where(em, ecs - 1, max_ev)
+    ev = jnp.zeros((max_ev, 3), jnp.float32).at[eidx].set(erows, mode="drop")
+    flat = jnp.concatenate([
+        ev.reshape(-1),
+        jnp.stack([n_ev, n_sym]).astype(jnp.float32)])
+    return flat, tbl
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _gather_table_rows(tbl, starts_hl, size: int):
+    starts = (starts_hl[0].astype(jnp.int32) * 4096
+              + starts_hl[1].astype(jnp.int32))
+    return jax.vmap(
+        lambda s0: lax.dynamic_slice(
+            tbl, (s0, jnp.zeros((), s0.dtype)), (size, 3)))(starts)
+
+
 class _HostStream:
     """_DeviceStream's surface over a plain numpy span (tests / host paths)."""
 
@@ -428,6 +572,22 @@ class PskSyncDetector:
                 anch_cache[self.src.length], tuple(plan), self.n_segments,
                 self.warmup_symbols, sync_j, sync1_j)
             stream.append(x_f, 0)
+            # sparse pass 2 (round 5): download only the minsync events and
+            # the event-adjacent symbol spans the replay actually reads
+            # (KBs), instead of the whole 3-f32-per-symbol tensor (MBs over
+            # a ~10 MB/s link). Falls back to the exact dense download on
+            # event overflow or a coverage miss.
+            sparse = self._sparse_pass2_inputs(packed, parallel)
+            if sparse is not None:
+                view_s, minsyncs_s = sparse
+                try:
+                    self._syncs = self._replay_with_view(minsyncs_s, view_s,
+                                                         stream)
+                    return self._syncs
+                except _CoverageError as e:
+                    log.info("sparse pass-2 fell back to dense: %s", e)
+                    self._consumed, self._open = 0, None
+                    self._prev_lm, self._stale = None, None
             pk = hostio.device_get(packed)
             (valid, ai_all, ph_all, ch_all, mf_all,
              ow) = unpack_symbol_outs(pk)
@@ -445,26 +605,8 @@ class PskSyncDetector:
             chosens.append(ch)
             for k in np.flatnonzero(mf):
                 minsyncs.append((k + 1, int(ai[k])))
-            # dry-run the replay to discover the needed windows, batch
-            # them in ONE gather+download, then replay for real (the walk's
-            # control flow never depends on window sample values)
-            snap = (self._consumed, dict(self._open) if self._open else None,
-                    self._prev_lm, dict(self._stale) if self._stale else None)
-            rec = _RecordingStream(stream)
-            self._dry_run = True
-            try:
-                self._drain_corr_jobs(minsyncs, a_idx, phases, chosens, rec,
-                                      stream.lo, stream.hi, [], final=True)
-            finally:
-                self._dry_run = False
-            (self._consumed, self._open,
-             self._prev_lm, self._stale) = snap
-            cache = _prefetch_windows(stream, rec.ranges)
-            max_syncs = self._drain_corr_jobs(
-                minsyncs, a_idx, phases, chosens,
-                _CachedStream(stream, cache), stream.lo,
-                stream.hi, max_syncs, final=True)
-            self._syncs = self._finalize(max_syncs)
+            self._syncs = self._replay_with_view(
+                minsyncs, _DenseSymbols(a_idx, phases, chosens), stream)
             return self._syncs
 
         for ci, (s, e) in enumerate(plan):
@@ -567,28 +709,101 @@ class PskSyncDetector:
         return self._syncs
 
     # ---------------------------------------------------------------- helpers
-    def _sym_sample(self, a_idx_chunks, j: int) -> int | None:
-        """Global sample of 0-based symbol j (ctr becomes j+1 there)."""
-        for arr in a_idx_chunks:
-            if j < len(arr):
-                return int(arr[j])
-            j -= len(arr)
-        return None
+    def _replay_with_view(self, minsyncs, view, stream) -> list:
+        """Dry-run the replay to discover the needed windows, batch them in
+        ONE gather+download, then replay for real (the walk's control flow
+        never depends on window sample values), and finalize."""
+        snap = (self._consumed, dict(self._open) if self._open else None,
+                self._prev_lm, dict(self._stale) if self._stale else None)
+        rec = _RecordingStream(stream)
+        self._dry_run = True
+        try:
+            self._drain_corr_jobs(minsyncs, view, None, None, rec,
+                                  stream.lo, stream.hi, [], final=True)
+        finally:
+            self._dry_run = False
+        (self._consumed, self._open, self._prev_lm, self._stale) = snap
+        cache = _prefetch_windows(stream, rec.ranges)
+        max_syncs = self._drain_corr_jobs(
+            minsyncs, view, None, None, _CachedStream(stream, cache),
+            stream.lo, stream.hi, [], final=True)
+        return self._finalize(max_syncs)
 
-    def _phase_at(self, a_idx_cat, phases_cat, n_arr: np.ndarray) -> np.ndarray:
-        """PLL phase in effect at samples n_arr: the phase of the last symbol
-        with a_idx < n (pllObj.output is updated when a symbol processes --
-        ref decode_funcube.py:61)."""
-        pos = np.searchsorted(a_idx_cat, n_arr, side="left") - 1
-        ph = np.where(pos >= 0, phases_cat[np.clip(pos, 0, None)], 0.0)
-        return ph
+    def _sparse_pass2_inputs(self, packed, use_owned: bool):
+        """Build (symbols view, minsyncs) for pass 2 from the device-resident
+        packed tensor with ~KB downloads: ONE event download plus ONE span
+        gather sized by the arming geometry. Returns None when the event
+        record overflowed (dense fallback)."""
+        p, cfg = self.p, self.cfg
+        flat, tbl = _events_and_table(packed, _MAX_EVENTS, use_owned)
+        fl = hostio.device_get(flat)
+        n_ev, n_sym = int(fl[-2]), int(fl[-1])
+        if n_ev > _MAX_EVENTS:
+            return None
+        ev = fl[:-2].reshape(_MAX_EVENTS, 3)[:n_ev]
+        ctrs = ev[:, 0].astype(np.int64)
+        samps = ev[:, 1].astype(np.int64) * 4096 + ev[:, 2].astype(np.int64)
+        minsyncs = [(int(c), int(s)) for c, s in zip(ctrs, samps)]
+        if n_ev == 0:
+            return _SparseSymbols([], n_sym), minsyncs
+        # span geometry: each event's replay reads phases over the
+        # correlation window ([first - cap, last + countdown] in samples),
+        # the arm boundary symbols of the previous event (prev + arm_pre /
+        # arm_end), and the stale-window tail before arm_end
+        T = p.symbol_period
+        cap_samples = cfg.cap_entries // cfg.entries_per_sample
+        countdown = cfg.cap_entries + 1
+        back = int((cap_samples + countdown) / T) + 64
+        fwd = int(countdown / T) + 64
+        back2 = int(cap_samples / T) + 16
+        size = min(n_sym, back + fwd)
+        if size <= 0:
+            return _SparseSymbols([], n_sym), minsyncs
+        starts: set = set()
+        for c in ctrs:
+            j = int(c) - 1
+            starts.add(j - back)
+            starts.add(j + cfg.arm_pre_syms - 16)
+            starts.add(j + cfg.arm_end_syms - back2 - 16)
+        lim = max(0, n_sym - size)
+        rows = sorted({max(0, min(int(s), lim)) for s in starts})
+        hl = np.stack([(np.asarray(rows, np.int64) // 4096)
+                       .astype(np.float32),
+                       (np.asarray(rows, np.int64) % 4096)
+                       .astype(np.float32)])
+        got = hostio.device_get(
+            _gather_table_rows(tbl, jnp.asarray(hl), size))
+        spans = []
+        for s0, row in zip(rows, got):
+            col0 = row[:, 0].astype(np.int64)
+            ch = col0 // 32768
+            a = (col0 % 32768) * 4096 + row[:, 1].astype(np.int64)
+            spans.append((s0, a, row[:, 2].astype(np.float64), ch))
+        # merge overlapping rows into disjoint spans (row starts are sorted;
+        # fixed row size makes the overlap a pure prefix drop)
+        merged = []
+        for s0, a, ph, ch in spans:
+            if merged and s0 < merged[-1][0] + len(merged[-1][1]):
+                keep = merged[-1][0] + len(merged[-1][1]) - s0
+                if keep >= len(a):
+                    continue
+                m0, ma, mp, mc = merged[-1]
+                merged[-1] = (m0, np.concatenate([ma, a[keep:]]),
+                              np.concatenate([mp, ph[keep:]]),
+                              np.concatenate([mc, ch[keep:]]))
+            else:
+                merged.append((s0, a, ph, ch))
+        return _SparseSymbols(merged, n_sym), minsyncs
 
     def _drain_corr_jobs(self, minsyncs, a_idx, phases, chosens,
                          stream, lo, hi, max_syncs, final=False):
         """Advance the arming/countdown state machine over newly seen minsync
         events; run correlations whose countdown completes inside the
         available stream [lo, hi). `stream` is a _DeviceStream/_HostStream
-        (a raw numpy span is adapted for direct callers/tests)."""
+        (a raw numpy span is adapted for direct callers/tests). `a_idx` is
+        either the per-chunk list of symbol sample indices (dense, with
+        `phases`/`chosens` the matching lists) or an already-built symbols
+        view (_DenseSymbols/_SparseSymbols; `phases`/`chosens` then None)."""
         if isinstance(stream, np.ndarray):
             stream = _HostStream(stream, lo)
         cfg = self.cfg
@@ -596,9 +811,8 @@ class PskSyncDetector:
         cap_samples = cfg.cap_entries // eps
         countdown = cfg.cap_entries + 1          # samples past the last trigger
 
-        a_cat = np.concatenate(a_idx) if a_idx else np.empty(0)
-        ph_cat = np.concatenate(phases) if phases else np.empty(0)
-        ch_cat = np.concatenate(chosens) if chosens else np.empty(0, np.int64)
+        view = (a_idx if isinstance(a_idx, (_DenseSymbols, _SparseSymbols))
+                else _DenseSymbols(a_idx, phases, chosens))
 
         while True:
             if self._open is None:
@@ -606,12 +820,11 @@ class PskSyncDetector:
                     # arming window may have closed with no trigger this
                     # chunk: preserve its buffer for a later-cluster replay
                     self._maybe_snapshot_stale(
-                        None, a_idx, stream, lo, hi, a_cat, ph_cat,
-                        cap_samples)
+                        None, view, stream, lo, hi, cap_samples)
                     break
                 ctr_t, samp_t = minsyncs[self._consumed]
                 self._maybe_snapshot_stale(
-                    ctr_t, a_idx, stream, lo, hi, a_cat, ph_cat, cap_samples)
+                    ctr_t, view, stream, lo, hi, cap_samples)
                 self._consumed += 1
                 self._open = {"first": samp_t, "first_ctr": ctr_t,
                               "last": samp_t, "last_ctr": ctr_t,
@@ -650,8 +863,7 @@ class PskSyncDetector:
                 # it were contiguous -- reproduced verbatim.
                 fresh_ws = max(self._open["first"] + 1, lo)
                 vals = self._quantize_window(
-                    stream.get(fresh_ws, we + 1), fresh_ws,
-                    a_cat, ph_cat)
+                    stream.get(fresh_ws, we + 1), fresh_ws, view)
                 report_ws = fresh_ws
                 if self._stale is not None:
                     vals = np.concatenate([self._stale["vals"], vals])
@@ -662,19 +874,17 @@ class PskSyncDetector:
                 # to the buffer size (ref decode_funcube.py:240-249)
                 ws = self._open["first"] + 1
                 if prev_lm is not None:
-                    arm_samp = self._sym_sample(
-                        a_idx, prev_lm + cfg.arm_pre_syms)
+                    arm_samp = view.sym_sample(prev_lm + cfg.arm_pre_syms)
                     if arm_samp is not None and arm_samp + 1 < ws:
                         ws = max(arm_samp + 1,
                                  self._open["first"] + 1 - cap_samples)
                 ws = max(ws, lo)
                 vals = self._quantize_window(
-                    stream.get(ws, we + 1), ws, a_cat, ph_cat)
+                    stream.get(ws, we + 1), ws, view)
                 report_ws = ws
             needle_i = 0
             if len(cfg.needles) > 1:
-                pos = np.searchsorted(a_cat, we, side="left") - 1
-                needle_i = int(ch_cat[pos]) if pos >= 0 else 0
+                needle_i = view.chosen_before(we)
             sync_pos = self._correlate_vals(vals, report_ws,
                                             cfg.needles[needle_i])
             max_syncs.append(sync_pos)
@@ -684,8 +894,8 @@ class PskSyncDetector:
             self._stale = None
         return max_syncs
 
-    def _maybe_snapshot_stale(self, next_ctr, a_idx, stream, lo, hi,
-                              a_cat, ph_cat, cap_samples):
+    def _maybe_snapshot_stale(self, next_ctr, view, stream, lo, hi,
+                              cap_samples):
         """Capture the sliding buffer of an armed window that closed with no
         trigger (ref decode_funcube.py:240-241: buffering stops once
         ctr > lastMin + arm_end_syms but maxResBuff is only cleared by a
@@ -698,10 +908,10 @@ class PskSyncDetector:
         boundary = self._prev_lm + cfg.arm_end_syms
         if next_ctr is not None and next_ctr <= boundary:
             return                      # window got a trigger: no stale buffer
-        end_samp = self._sym_sample(a_idx, boundary)
+        end_samp = view.sym_sample(boundary)
         if end_samp is None or end_samp >= hi:
             return                      # window still open / not streamed yet
-        arm_samp = self._sym_sample(a_idx, self._prev_lm + cfg.arm_pre_syms)
+        arm_samp = view.sym_sample(self._prev_lm + cfg.arm_pre_syms)
         ws = end_samp + 1 - cap_samples
         if arm_samp is not None:
             ws = max(ws, arm_samp + 1)
@@ -711,15 +921,14 @@ class PskSyncDetector:
         self._stale = {
             "ws": ws,
             "vals": self._quantize_window(
-                stream.get(ws, end_samp + 1), ws, a_cat, ph_cat)}
+                stream.get(ws, end_samp + 1), ws, view)}
 
-    def _quantize_window(self, seg: np.ndarray, ws: int, a_cat,
-                         ph_cat) -> np.ndarray:
+    def _quantize_window(self, seg: np.ndarray, ws: int, view) -> np.ndarray:
         """Rotate by the PLL phasor and quantize like the reference
         (ref decode_funcube.py:243 `lim(real(i*pllObj.output)/2)`)."""
         cfg = self.cfg
         n_arr = ws + np.arange(len(seg))
-        ph = self._phase_at(a_cat, ph_cat, n_arr)
+        ph = view.phase_at(n_arr)
         rot = seg * np.exp(-1j * ph)
         if cfg.entries_per_sample == 1:
             return _lim(np.real(rot) / 2.0)

@@ -179,7 +179,12 @@ def symbol_scan(p: PskParams, x: jnp.ndarray, state: PskState,
     slen = sync.shape[0]
     half = slen / 2.0
 
-    n_events = int(n / T) + 3
+    # margin scales with n: worst-case cumulative Gardner timing drift
+    # (|resync|*T/2e6 per symbol) can exceed a fixed +3 over the round-5
+    # whole-capture path's 128M-sample scans; 4e-6 relative keeps the same
+    # per-sample slack the old 20M-sample per-block loop re-amortized
+    # (ADVICE r04)
+    n_events = int(n / T) + 3 + int(n * 4e-6 / T)
 
     def push2(buf, v1, v2):
         return jnp.concatenate([buf[2:], jnp.stack([v1, v2])])

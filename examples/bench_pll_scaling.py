@@ -61,7 +61,7 @@ def main():
 
     results = {}
     base_syncs = None
-    for n_seg in (1, 2, 4, 8):
+    for n_seg in (1, 2, 4, 8, 16, 32, 64):
         dec = FuncubeDecoder(src, 5000,
                              n_segments=(n_seg if n_seg > 1 else None))
         t0 = time.perf_counter()

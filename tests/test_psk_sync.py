@@ -316,3 +316,70 @@ def test_maxsync_replay_stale_across_chunk_boundary():
                                stream2, tail_start, len(stream), got,
                                final=True)
     assert got == want
+
+
+@pytest.mark.slow
+def test_sparse_pass2_matches_dense(monkeypatch):
+    """The round-5 sparse pass 2 (event compaction + span gathers) must
+    produce identical syncs to the dense full-tensor download, BPSK and
+    QPSK, sequential and segmented."""
+    from directdemod_tpu.models import psk_sync as ps
+
+    spacing = K.FUNCUBE_FRAME_SPACING_S
+    cap = _bpsk_capture([2.0, 2.0 + spacing], dur_s=2.0 + spacing + 1.2)
+    frames_m = [0.5 + i * K.METEOR_FRAME_SPACING_S for i in range(5)]
+    cap_m = _qpsk_capture(frames_m, dur_s=1.4)
+
+    cases = [
+        (FuncubeDecoder, cap, 5000, dict()),
+        (FuncubeDecoder, cap, 5000, dict(n_segments=4)),
+        (MeteorM2Decoder, cap_m, 4000, dict()),
+        (MeteorM2Decoder, cap_m, 4000, dict(n_segments=4)),
+    ]
+    orig = ps.PskSyncDetector._sparse_pass2_inputs
+    for cls, c, off, kw in cases:
+        sparse_calls = []
+
+        def spy(self, packed, use_owned, _orig=orig):
+            r = _orig(self, packed, use_owned)
+            sparse_calls.append(r is not None)
+            return r
+
+        monkeypatch.setattr(ps.PskSyncDetector, "_sparse_pass2_inputs", spy)
+        d1 = cls(ArraySource(c, FS), off, **kw)
+        s1 = d1.get_syncs()
+        # dense: force the fallback
+        monkeypatch.setattr(ps.PskSyncDetector, "_sparse_pass2_inputs",
+                            lambda self, packed, use_owned: None)
+        d2 = cls(ArraySource(c, FS), off, **kw)
+        s2 = d2.get_syncs()
+        assert sparse_calls == [True], (cls.__name__, kw)
+        assert s1 == s2, (cls.__name__, kw)
+        assert d1.useful == d2.useful
+
+
+def test_sparse_symbols_coverage_error():
+    """_SparseSymbols must refuse (not silently mis-answer) lookups outside
+    its gathered spans."""
+    from directdemod_tpu.models.psk_sync import (_SparseSymbols,
+                                                 _CoverageError)
+    a = np.arange(10, 110, 10)
+    ph = np.linspace(0, 1, 10)
+    ch = np.zeros(10, np.int64)
+    # spans cover symbols 0-4 and 7-9 of 10; symbols 5,6 missing
+    v = _SparseSymbols([(0, a[:5], ph[:5], ch[:5]),
+                        (7, a[7:], ph[7:], ch[7:])], 10)
+    assert v.sym_sample(3) == 40
+    assert v.sym_sample(8) == 90
+    assert v.sym_sample(12) is None
+    with pytest.raises(_CoverageError):
+        v.sym_sample(5)
+    # phase at sample 45: pred is symbol 3 (a=40), next in span -> determined
+    assert np.allclose(v.phase_at(np.asarray([45])), ph[3])
+    # phase at 65: true pred is symbol 5 (missing) -> must raise
+    with pytest.raises(_CoverageError):
+        v.phase_at(np.asarray([65]))
+    # phase at 5: before symbol 0, span starts at 0 -> determined as none
+    assert v.phase_at(np.asarray([5]))[0] == 0.0
+    # phase at 105: pred is the global last symbol -> determined
+    assert np.allclose(v.phase_at(np.asarray([105])), ph[9])
