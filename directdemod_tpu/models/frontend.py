@@ -182,6 +182,47 @@ class DdcFm:
             pos = e
         return audios[0] if len(audios) == 1 else jnp.concatenate(audios)
 
+    @partial(jax.jit, static_argnums=(0, 2))
+    def resident_complex(self, raw_or_x, n: int):
+        """Whole-capture fused DDC (no FM) for a device-resident capture,
+        inside one traced program: returns the complex decimated stream c
+        with the identical per-output windows as the blocked path. Raw u8
+        input runs block 0 via the XLA step (the virtual warmup history is
+        not byte-representable) and the remainder through the dense
+        byte-matmul plan; complex input runs one whole-capture
+        fir_decimate. Used by the AFSK fused pipeline (fm=False chain of
+        ref decode_afsk1200.py:74-95)."""
+        from ..ops.ddc_conv import byte_plan, ddc_bytes
+        J, k = self.stride, len(self.taps_mod)
+        tm = jnp.asarray(self.taps_mod, jnp.complex64)
+        hist = jnp.asarray(self.hist0, jnp.complex64)
+        if raw_or_x.dtype != jnp.uint8:
+            out_len = rs.decim_count(n, 0, J)
+            c, _ = fir.fir_decimate(raw_or_x.astype(jnp.complex64), tm, hist,
+                                    jnp.int32(0), out_len, J)
+            return c
+        raw = raw_or_x
+        b0 = min(n, PROC_CHUNKSIZE)
+        x0 = unpack.iq_u8_to_complex(lax.slice(raw, (0,), (2 * b0,)),
+                                     jnp.float32)
+        out_len0 = rs.decim_count(b0, 0, J)
+        c0, _ = fir.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
+        cs = [c0]
+        plan = byte_plan(self.taps_mod[::-1], J)
+        pos = b0
+        while pos < n:
+            e = min(n, pos + PROC_CHUNKSIZE)
+            off = rs.decim_phase(pos, J)
+            out_len = rs.decim_count(e - pos, off, J)
+            raw_cat = lax.slice(raw, (2 * (pos - (k - 1)),), (2 * e,))
+            need = 2 * ((out_len - 1) * J + k)
+            seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)),
+                                    (2 * off,), (need,))
+            (re, im), _ = ddc_bytes(plan, seg, cs[0][:1], out_len)
+            cs.append(lax.complex(re, im))
+            pos = e
+        return cs[0] if len(cs) == 1 else jnp.concatenate(cs)
+
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
                 dtype=jnp.complex64, raw: bool | str = "auto",
                 backend: str = "auto", pallas_interpret: bool = False):

@@ -144,3 +144,82 @@ def test_stuffing_roundtrip():
     marks = Afsk1200Decoder.find_bit_stuffing(np.asarray(stuffed))
     out = Afsk1200Decoder.reduce_stuffed_bit(stuffed, marks)
     assert out == bits[:-7]
+
+
+def test_fused_path_matches_legacy(aprs_capture):
+    """The round-5 single-dispatch device pipeline must decode the same
+    frames as the blocked legacy path."""
+    src = ArraySource(aprs_capture, FS)
+    d1 = Afsk1200Decoder(src, 12000)
+    f1 = d1.get_frames()
+    d2 = Afsk1200Decoder(src, 12000)
+    d2._device_inputs = lambda: (None, int(src.length))   # force legacy
+    f2 = d2.get_frames()
+    assert len(f1) == len(f2) >= 1
+    for a, b in zip(f1, f2):
+        assert (a.info, a.source, a.destination, a.start_bit) \
+            == (b.info, b.source, b.destination, b.start_bit)
+    assert d1.useful == d2.useful == 1
+
+
+def test_find_bit_stuffing_matches_loop_oracle():
+    rng = np.random.default_rng(11)
+
+    def oracle(bits):
+        out = np.zeros(len(bits), dtype=np.int64)
+        run = 0
+        for i, b in enumerate(bits):
+            if run == 5:
+                out[i] = 2 if b == 1 else 1
+            run = run + 1 if b == 1 else 0
+        return out
+
+    for n in (0, 1, 17, 256, 5000):
+        bits = rng.integers(0, 2, n)
+        assert np.array_equal(Afsk1200Decoder.find_bit_stuffing(bits),
+                              oracle(bits))
+    ones = np.ones(64, np.int64)
+    assert np.array_equal(Afsk1200Decoder.find_bit_stuffing(ones),
+                          oracle(ones))
+
+
+def test_nrzi_bits_matches_loop_oracle():
+    rng = np.random.default_rng(12)
+    dec = Afsk1200Decoder.__new__(Afsk1200Decoder)
+    dec.bw = K.AFSK_DEFAULT_BW
+    spb = dec.bw // K.AFSK_BAUDRATE
+    spb_f = dec.bw / K.AFSK_BAUDRATE
+    bf = rng.standard_normal(40_000)
+    pk = np.sort(rng.choice(np.arange(100, 39_000), 40, replace=False))
+
+    def oracle(bf, pk):
+        reps = np.round(np.diff(pk) / spb_f).astype(np.int64)
+        vals = []
+        for i, r in enumerate(reps):
+            base = pk[i]
+            for k in range(int(r)):
+                seg = bf[base + k * spb: base + (k + 1) * spb]
+                vals.append(np.mean(seg) if len(seg) else 0.0)
+        return np.sign(np.asarray(vals))
+
+    got = dec._nrzi_bits(bf, pk)
+    assert np.array_equal(got, oracle(bf, pk))
+    # windows running off the end of bf (partial + empty)
+    pk2 = np.asarray([39_980 - 3 * spb, 39_990 + 2 * spb])
+    assert np.array_equal(dec._nrzi_bits(bf, pk2), oracle(bf, pk2))
+
+
+def test_bit_layer_scales_to_long_captures():
+    """VERDICT r04 #8: the bit layer must stay o(seconds) of host time at
+    hours-long-capture bit counts (2.2M bauds ~ a 30-minute capture)."""
+    import time
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, 2_200_000)
+    t0 = time.perf_counter()
+    stuffed = Afsk1200Decoder.find_bit_stuffing(bits)
+    nrzi = Afsk1200Decoder.decode_nrzi(bits)
+    flags = Afsk1200Decoder.find_flags(bits)
+    dt = time.perf_counter() - t0
+    assert len(stuffed) == len(bits) and len(nrzi) == len(bits)
+    assert flags.ndim == 1
+    assert dt < 2.0, dt
