@@ -13,7 +13,7 @@ import getopt
 import json
 import logging
 import sys
-from time import gmtime, strftime
+from time import gmtime, perf_counter, strftime
 
 from . import constants
 from .io import sinks, sources
@@ -51,7 +51,41 @@ Decoder flags:
 \t-d meteor : Meteor QPSK sync detector
 \t--mesh=<n> : shard the NOAA/PSK decode over an n-device time mesh
 \t--segments=<n> : segment-parallel PLL scan for funcube/meteor
+\t--resident : upload the capture once into device HBM and decode from
+\t             there (fastest path; falls back to the blocked feed when
+\t             the capture exceeds device memory)
 """)
+
+
+# --resident capacity cap: raw bytes uploaded to HBM must leave room for the
+# decode working set (v5e has 16 GB; the NOAA working set is chunk-bounded)
+RESIDENT_MAX_BYTES = 8 << 30
+
+
+def _make_resident(sigsrc):
+    """Wrap the (already limit()-windowed) file source's bytes into a
+    DeviceRawSource; returns None (with a log line) when the capture cannot
+    ride resident, so the caller keeps the blocked-feed source."""
+    read_raw = getattr(sigsrc, "read_raw", None)
+    if callable(getattr(sigsrc, "read_raw_device", None)):
+        return sigsrc                      # already resident
+    if not callable(read_raw):
+        logging.warning("--resident: source has no raw bytes; "
+                        "using the blocked feed")
+        return None
+    n = int(sigsrc.length)
+    if 2 * n > RESIDENT_MAX_BYTES:
+        logging.warning("--resident: capture is %.1f GB of raw bytes "
+                        "(cap %.1f GB); using the blocked feed",
+                        2 * n / 2**30, RESIDENT_MAX_BYTES / 2**30)
+        return None
+    try:
+        return sources.DeviceRawSource.from_host_bytes(
+            read_raw(0, n), sigsrc.sampFreq)
+    except Exception as e:
+        logging.warning("--resident upload failed (%s); "
+                        "using the blocked feed", e)
+        return None
 
 
 def main(argv=None) -> int:
@@ -61,7 +95,8 @@ def main(argv=None) -> int:
     try:
         optlist, args = getopt.getopt(
             argv, "c:f:s:e:ho:qn:b:d:r:a:",
-            ["help", "map", "tle=", "freqshift", "mesh=", "segments="])
+            ["help", "map", "tle=", "freqshift", "mesh=", "segments=",
+             "resident"])
     except getopt.GetoptError as e:
         usage(str(e))
         return 1
@@ -85,6 +120,7 @@ def main(argv=None) -> int:
     # (funcube/meteor); combines with --mesh (one segment scan per device)
     n_segments = next((int(v) for k, v in optlist if k == "--segments"), None)
 
+    resident = "--resident" in flags
     calc_sync = any(o == ("-s", "ync") for o in optlist)
     calc_image = not any(o == ("-n", "oimage") for o in optlist)
     report_file = next((v for k, v in optlist if k == "-r"), None)
@@ -149,6 +185,23 @@ def main(argv=None) -> int:
             logging.info("Offset for this frequency: %f Hz", freq_offset)
 
             sigsrc.limit(starts[i], ends[i])
+            src_i = sigsrc
+            if resident:
+                # one-time upload; decoders detect read_raw_device and take
+                # the single-dispatch resident paths (e.g. NOAA 90x real
+                # time vs 10x feed-inclusive, BENCH_NOAA_LONG_r04)
+                t_up = perf_counter()
+                wrapped = _make_resident(sigsrc)
+                if wrapped is not None:
+                    src_i = wrapped
+                    entry["residentUploadSeconds"] = round(
+                        perf_counter() - t_up, 3)
+                    logging.info("resident upload: %.1f s for %.2f GB",
+                                 entry["residentUploadSeconds"],
+                                 2 * sigsrc.length / 2**30)
+            t_dec = perf_counter()
+            entry["resident"] = src_i is not sigsrc \
+                or callable(getattr(src_i, "read_raw_device", None))
             stem = file_name.split(".")[0]
 
             if decoders[i] == "noaa":
@@ -164,7 +217,7 @@ def main(argv=None) -> int:
                     map_rot, map_nrot = outs[i] + "_map_rot.png", outs[i] + "_map.png"
 
                 from .models.noaa import NoaaDecoder
-                dec = NoaaDecoder(sigsrc, freq_offset, bandwidths[i],
+                dec = NoaaDecoder(src_i, freq_offset, bandwidths[i],
                                   mesh=mesh)
                 if calc_image and dec.useful == 1:
                     sinks.write_image(img_file, dec.get_image())
@@ -199,14 +252,14 @@ def main(argv=None) -> int:
             elif decoders[i] == "afsk1200":
                 entry["filesCreated"] = []
                 from .models.afsk1200 import Afsk1200Decoder
-                dec = Afsk1200Decoder(sigsrc, freq_offset, bandwidths[i])
+                dec = Afsk1200Decoder(src_i, freq_offset, bandwidths[i])
                 print(dec.get_msg())
                 entry["usefulness"] = dec.useful
 
             elif decoders[i] == "funcube":
                 entry["filesCreated"] = []
                 from .models.funcube import FuncubeDecoder
-                dec = FuncubeDecoder(sigsrc, freq_offset, bandwidths[i],
+                dec = FuncubeDecoder(src_i, freq_offset, bandwidths[i],
                                      report.get("centreFreq"), freqs[i],
                                      corr_freq_shift,
                                      n_segments=n_segments, mesh=mesh)
@@ -220,7 +273,7 @@ def main(argv=None) -> int:
             elif decoders[i] == "meteor":
                 entry["filesCreated"] = []
                 from .models.meteorm2 import MeteorM2Decoder
-                dec = MeteorM2Decoder(sigsrc, freq_offset, bandwidths[i],
+                dec = MeteorM2Decoder(src_i, freq_offset, bandwidths[i],
                                       n_segments=n_segments, mesh=mesh)
                 syncs = dec.get_syncs()
                 logging.info("Complete: detected %d syncs", len(syncs))
@@ -232,6 +285,7 @@ def main(argv=None) -> int:
                 usage("Invalid decoder selected")
                 return 1
 
+            entry["decodeSeconds"] = round(perf_counter() - t_dec, 3)
             report["channels"].append(entry)
         except Exception as e:  # per-channel fence (ref main.py:347-349)
             logging.error("An error occurred during decoding of frequency %d of %d",

@@ -220,11 +220,18 @@ class DeviceRawSource:
             raise ValueError("DeviceRawSource wants uint8 interleaved bytes")
         self._raw = raw_dev
         self._samp_freq = int(samp_freq)
+        self._total = int(raw_dev.shape[0]) // 2
+        self._offset = 0
+        self._limit = self._total
 
     @classmethod
     def from_host_bytes(cls, raw: np.ndarray, samp_freq: int):
-        return cls(hostio.device_put_u8(np.asarray(raw, dtype=np.uint8)),
-                   samp_freq)
+        src = cls(hostio.device_put_u8(np.asarray(raw, dtype=np.uint8)),
+                  samp_freq)
+        # host copy for host-only consumers (the Doppler waterfall reads
+        # `memmap` — ref source.py:66); windowed to the uploaded span
+        src.memmap = np.asarray(raw, dtype=np.uint8)
+        return src
 
     @classmethod
     def from_file(cls, path: str, samp_freq: int):
@@ -241,10 +248,24 @@ class DeviceRawSource:
 
     @property
     def length(self) -> int:
-        return int(self._raw.shape[0]) // 2
+        return self._limit
+
+    def limit(self, init_offset: int | None = None,
+              final_limit: int | None = None) -> None:
+        """Window subsequent reads (ref source.py:120-138), sliced on
+        device — no re-upload."""
+        self._offset = init_offset if init_offset is not None else 0
+        if final_limit is not None:
+            self._limit = final_limit - self._offset
+        else:
+            self._limit = self._total
+
+    limitData = limit
 
     def read_raw_device(self, from_index: int, to_index: int):
-        return self._raw[2 * from_index: 2 * to_index]
+        a = self._offset + from_index
+        b = self._offset + to_index
+        return self._raw[2 * a: 2 * b]
 
     def read_raw(self, from_index: int, to_index: int) -> np.ndarray:
         return hostio.device_get(self.read_raw_device(from_index, to_index))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import constants as K
-from ..ops import crc, design, fir, iir, peaks, unpack
+from ..ops import crc, design, fir, iir, peaks
 from ..utils import hostio
 from .frontend import DdcFm
 

@@ -142,8 +142,13 @@ class DdcFm:
         Peak HBM is bounded per chunk, not by the capture size.
 
         `backend`: 'gemm_u8' (default) runs the dense byte-matmul lowering
-        (ops/ddc_conv, ~45 Gsamp/s on v5e — BENCH_PALLAS_r05); 'pallas_u8'
-        the round-4 Pallas kernel (~3.7 Gsamp/s). Requires fm=True."""
+        (ops/ddc_conv, ~45 Gsamp/s on v5e — BENCH_PALLAS_r05) with the
+        chunk loop as a lax.scan (one compiled step, ~30x smaller program
+        than the unrolled form — see _resident_scan); 'pallas_u8' the
+        round-4 Pallas kernel (~3.7 Gsamp/s), statically unrolled.
+        Requires fm=True."""
+        if backend == "gemm_u8":
+            return self._resident_scan(raw, n, True)
         from ..ops.pallas_ddc import ddc_fm_pallas_u8
         from ..ops.ddc_conv import byte_plan, ddc_fm_bytes
         J, k = self.stride, len(self.taps_mod)
@@ -182,6 +187,77 @@ class DdcFm:
             pos = e
         return audios[0] if len(audios) == 1 else jnp.concatenate(audios)
 
+    @partial(jax.jit, static_argnums=(0, 2, 3))
+    def _resident_scan(self, raw, n: int, fm: bool):
+        """Whole-capture resident front end with the chunk loop as ONE
+        lax.scan step instead of a statically unrolled loop.
+
+        The unrolled form compiled one program PER CHUNK (a 5-minute capture
+        = 31 inlined gemm graphs): ~70-200 s of per-process trace + compile
+        + executable load over the tunnel even with the persistent cache
+        warm (measured round 5 — the CLI --resident wall). The scan step
+        compiles ONCE; chunks use a fixed out_max output count and the
+        valid outputs scatter into the global stream, masked so the
+        spill-over output (which equals the next chunk's first) never
+        collides. Bit-identical windows to the blocked DdcFmStream.
+
+        Byte offsets exceed int32 at 2 B/sample beyond ~1 GB, so chunk
+        slicing is two-level: a row slice of the (rows, 128) byte plane,
+        then a fine slice — all indices stay < 2^25. Chunks are sized to a
+        J multiple so every chunk yields exactly C/J outputs and assembly
+        is a reshape — a scatter assembly measured ~150 s at 36M outputs
+        (TPU scatters serialize)."""
+        from ..ops.ddc_conv import byte_plan
+        J, k = self.stride, len(self.taps_mod)
+        C = (PROC_CHUNKSIZE // J) * J      # decimation-grid-aligned chunks
+        plan = byte_plan(self.taps_mod[::-1], J)
+        rot = jnp.asarray(self.rot, jnp.complex64)
+        hist = jnp.asarray(self.hist0, jnp.complex64)
+        tm = jnp.asarray(self.taps_mod, jnp.complex64)
+        total_out = rs.decim_count(n, 0, J)
+        out_n = total_out - 1 if fm else total_out
+        b0 = min(n, C)
+        x0 = unpack.iq_u8_to_complex(lax.slice(raw, (0,), (2 * b0,)),
+                                     jnp.float32)
+        out_len0 = rs.decim_count(b0, 0, J)
+        c0, _ = fir.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
+        head = jnp.angle(c0[1:] * jnp.conj(c0[:-1]) * rot) if fm else c0
+        if b0 >= n:
+            return head
+        n_chunks = -(-(n - b0) // C)
+        cnt = C // J                       # outputs per chunk, exactly
+        need = 2 * ((cnt - 1) * J + k)
+        rows_need = -(-need // 128) + 1
+        pad = rows_need * 128 + 2 * C + 256
+        rawp = jnp.pad(raw, (0, pad + (-(2 * n + pad)) % 128))
+        raw2 = rawp.reshape(-1, 128)
+
+        def step(cp, i):
+            pos = jnp.int32(b0) + i * jnp.int32(C)
+            # byte start s = 2*(pos - (k-1)) without overflowing i32:
+            # pos = 64*ph + pl  =>  s = 128*ph + cc,  cc small
+            ph = pos // 64
+            pl = pos % 64
+            cc = 2 * (pl - jnp.int32(k - 1))
+            q = ph + cc // 128
+            r = cc % 128
+            rows = lax.dynamic_slice(
+                raw2, (q, jnp.int32(0)), (rows_need, 128)).reshape(-1)
+            seg = lax.dynamic_slice(rows, (r,), (need,))
+            re, im = plan.apply_dot(seg, cnt)
+            c_arr = lax.complex(re, im)
+            if fm:
+                prev = jnp.concatenate([cp, c_arr[:-1]])
+                vals = jnp.angle(c_arr * jnp.conj(prev) * rot)
+            else:
+                vals = c_arr
+            return c_arr[-1:], vals
+
+        _, vals = lax.scan(step, c0[-1:],
+                           jnp.arange(n_chunks, dtype=jnp.int32))
+        flat = vals.reshape(-1)[: out_n - head.shape[0]]
+        return jnp.concatenate([head.astype(flat.dtype), flat])
+
     @partial(jax.jit, static_argnums=(0, 2))
     def resident_complex(self, raw_or_x, n: int):
         """Whole-capture fused DDC (no FM) for a device-resident capture,
@@ -192,7 +268,6 @@ class DdcFm:
         byte-matmul plan; complex input runs one whole-capture
         fir_decimate. Used by the AFSK fused pipeline (fm=False chain of
         ref decode_afsk1200.py:74-95)."""
-        from ..ops.ddc_conv import byte_plan, ddc_bytes
         J, k = self.stride, len(self.taps_mod)
         tm = jnp.asarray(self.taps_mod, jnp.complex64)
         hist = jnp.asarray(self.hist0, jnp.complex64)
@@ -201,27 +276,7 @@ class DdcFm:
             c, _ = fir.fir_decimate(raw_or_x.astype(jnp.complex64), tm, hist,
                                     jnp.int32(0), out_len, J)
             return c
-        raw = raw_or_x
-        b0 = min(n, PROC_CHUNKSIZE)
-        x0 = unpack.iq_u8_to_complex(lax.slice(raw, (0,), (2 * b0,)),
-                                     jnp.float32)
-        out_len0 = rs.decim_count(b0, 0, J)
-        c0, _ = fir.fir_decimate(x0, tm, hist, jnp.int32(0), out_len0, J)
-        cs = [c0]
-        plan = byte_plan(self.taps_mod[::-1], J)
-        pos = b0
-        while pos < n:
-            e = min(n, pos + PROC_CHUNKSIZE)
-            off = rs.decim_phase(pos, J)
-            out_len = rs.decim_count(e - pos, off, J)
-            raw_cat = lax.slice(raw, (2 * (pos - (k - 1)),), (2 * e,))
-            need = 2 * ((out_len - 1) * J + k)
-            seg = lax.dynamic_slice(jnp.pad(raw_cat, (0, 2 * J)),
-                                    (2 * off,), (need,))
-            (re, im), _ = ddc_bytes(plan, seg, cs[0][:1], out_len)
-            cs.append(lax.complex(re, im))
-            pos = e
-        return cs[0] if len(cs) == 1 else jnp.concatenate(cs)
+        return self._resident_scan(raw_or_x, n, False)
 
     def process(self, source, block_size: int = PROC_CHUNKSIZE,
                 dtype=jnp.complex64, raw: bool | str = "auto",

@@ -161,3 +161,41 @@ def test_cli_meteor_segments(tmp_path):
     # every sequential sync has a CLI counterpart nearby (re-lock tolerance)
     for s0 in syncs_seq:
         assert np.min(np.abs(got - s0)) < 0.02 * FS
+
+
+def test_cli_resident_noaa(noaa_wav, tmp_path):
+    """--resident uploads the capture once into a DeviceRawSource and the
+    decoders take the single-dispatch resident paths; output must equal the
+    blocked-feed decode bit for bit."""
+    out_r = str(tmp_path / "res")
+    out_b = str(tmp_path / "blk")
+    rep_r = str(tmp_path / "rep_r.json")
+    rc = cli.main(["-c", "137590000", "-f", "137620000", "-d", "noaa",
+                   "-o", out_r, "-r", rep_r, "--resident", noaa_wav])
+    assert rc == 0
+    rep = json.load(open(rep_r))
+    ch = rep["channels"][0]
+    assert ch["usefulness"] == 1 and ch["resident"] is True
+    assert os.path.exists(out_r + ".png")
+    rc = cli.main(["-c", "137590000", "-f", "137620000", "-d", "noaa",
+                   "-o", out_b, noaa_wav])
+    assert rc == 0
+    from PIL import Image
+    a = np.asarray(Image.open(out_r + ".png"))
+    b = np.asarray(Image.open(out_b + ".png"))
+    assert a.shape == b.shape
+    assert np.array_equal(a, b)
+
+
+def test_cli_resident_capacity_fallback(noaa_wav, tmp_path, monkeypatch):
+    """A capture over the HBM cap keeps the blocked feed (and still
+    decodes)."""
+    monkeypatch.setattr(cli, "RESIDENT_MAX_BYTES", 1024)
+    rep = str(tmp_path / "rep.json")
+    out = str(tmp_path / "cap")
+    rc = cli.main(["-c", "137590000", "-f", "137620000", "-d", "noaa",
+                   "-o", out, "-r", rep, "--resident", noaa_wav])
+    assert rc == 0
+    ch = json.load(open(rep))["channels"][0]
+    assert ch["usefulness"] == 1 and ch["resident"] is False
+    assert os.path.exists(out + ".png")
