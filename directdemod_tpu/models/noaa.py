@@ -388,7 +388,7 @@ class NoaaDecoder:
         raw_dev = (self.src.read_raw_device(0, self.src.length)
                    if fast and resident else None)
 
-        results = []
+        per_needle = []
         for bits, syncs in ((K.NOAA_SYNCA, self._sync_a),
                             (K.NOAA_SYNCB, self._sync_b)):
             centers = np.asarray(syncs, dtype=np.float64) / self._sync_rate * fs
@@ -398,11 +398,49 @@ class NoaaDecoder:
                 if s < 0 or e > self.src.length:
                     continue
                 starts.append(s)
+            needle = corr_ops.apt_needle(bits, fs, K.NOAA_T,
+                                         positive=use_norm_correlate)
+            per_needle.append((starts, needle))
+
+        if (fast and raw_dev is not None
+                and any(st for st, _ in per_needle)):
+            # all-windows path: one dispatch + one packed download PER
+            # NEEDLE (2 round trips for the whole stage)
+            group = 64
+            results = []
+            for st, needle in per_needle:
+                if not st:
+                    results.append(([], [], []))
+                    continue
+                n_g = -(-len(st) // group)
+                st_pad = (st + [st[0]] * (n_g * group - len(st)))
+                arr = np.asarray(st_pad, np.int64)
+                hl = np.stack([(arr // 4096).astype(np.float32),
+                               (arr % 4096).astype(np.float32)])
+                mets = hostio.device_get(_accurate_fast_resident_all(
+                    raw_dev, jnp.asarray(hl),
+                    jnp.asarray(needle, jnp.float32), 2 * width, group,
+                    (self.offset, float(fs)), use_norm_correlate,
+                    len(needle), float(K.NOAA_PEAKHEIGHTWIGGLE)))
+                det, quals, tsyncs = [], [], []
+                flat = mets.reshape(-1, 6)[: len(st)]
+                for row, s0 in zip(flat, st):
+                    has, hi, lo, q, ts, ts_ok = row
+                    if has < 0.5:
+                        continue
+                    det.append(int(hi) * 4096 + int(lo) + s0)
+                    quals.append(float(q))
+                    tsyncs.append(float(ts) if ts_ok > 0.5 else None)
+                results.append((det, quals, tsyncs))
+            return self._finish_accurate(results, fs, use_norm_correlate)
+
+        results = []
+        for (starts, needle), (bits, syncs) in zip(
+                per_needle, ((K.NOAA_SYNCA, self._sync_a),
+                             (K.NOAA_SYNCB, self._sync_b))):
             if not starts:
                 results.append(([], [], []))
                 continue
-            needle = corr_ops.apt_needle(bits, fs, K.NOAA_T,
-                                         positive=use_norm_correlate)
             nj = jnp.asarray(needle, dtype=jnp.float32)
             ln = len(needle)
 
@@ -413,7 +451,12 @@ class NoaaDecoder:
                 for g0 in range(0, len(starts), 64):
                     gs = starts[g0:g0 + 64]
                     nw = len(gs)
-                    bucket = 1 << (nw - 1).bit_length()
+                    # fixed 64-row batches: one jit shape, and BIT-identical
+                    # to the resident all-windows path (_accurate_fast_
+                    # resident_all scans fixed-64 groups; batch shape
+                    # changes perturb XLA's FFT factorization rounding
+                    # enough to move a flat argmax by a sample)
+                    bucket = 64
                     gs_pad = gs + [gs[0]] * (bucket - nw)
                     if raw_dev is not None:
                         hl = np.asarray(gs_pad, np.int64)
@@ -498,6 +541,9 @@ class NoaaDecoder:
                     tsyncs.append(None)
             results.append((det, quals, tsyncs))
 
+        return self._finish_accurate(results, fs, use_norm_correlate)
+
+    def _finish_accurate(self, results, fs, use_norm_correlate):
         (da, qa, ta), (db, qb, tb) = results
         out = [da, list(np.diff(da)), qa, ta, db, list(np.diff(db)), qb, tb]
         self._accurate = (use_norm_correlate, out)
@@ -621,6 +667,11 @@ def _accurate_fast_kernel(batch, nj, offset_fs: tuple, use_norm: bool,
     quality sample cor[p + ln//2] is the max itself, and the "time sync"
     is a windowed mean of the envelope. Returns (rows, 6) f32:
     [has_peak, p_hi, p_lo, quality, tsync_mean, tsync_valid]."""
+    return _accurate_fast_core(batch, nj, offset_fs, use_norm, ln, wiggle)
+
+
+def _accurate_fast_core(batch, nj, offset_fs: tuple, use_norm: bool,
+                        ln: int, wiggle: float):
     env, cor = _accurate_windows_batch(batch, nj, offset_fs, use_norm)
     n = cor.shape[1]
     fs = offset_fs[1]
@@ -640,6 +691,54 @@ def _accurate_fast_kernel(batch, nj, offset_fs: tuple, use_norm: bool,
     lo = jnp.remainder(p, 4096).astype(jnp.float32)
     return jnp.stack([(mx > thr).astype(jnp.float32), hi, lo, mx, ts,
                       ((p + 2 * ln) < n).astype(jnp.float32)], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _accurate_fast_resident_all(raw, starts_hl, nj, n_win: int, group: int,
+                                offset_fs: tuple, use_norm: bool, ln: int,
+                                wiggle: float):
+    """EVERY accurate-sync window of one needle in ONE dispatch with ONE
+    packed download (round-4 VERDICT #6: the fast path issued one RPC
+    round trip per 64-window group; a long pass has hundreds of syncs).
+    Groups of `group` windows gather from the resident capture bytes
+    inside a lax.scan (bounding peak HBM to one group's windows), the
+    per-window reduction is _accurate_fast_core, and the
+    (n_groups, group, 6) metrics tensor is the only transfer — the stage
+    costs 2 round trips total (one per needle).
+
+    starts_hl: (2, n_groups*group) f32 — exact (hi, lo) sample-index
+    halves, padded with repeats."""
+    # dense (rows, 128) byte view — a true bitcast. The (n, 2) pair view
+    # _gather_iq_windows uses is fine when XLA fuses it into a single
+    # gather, but materialized across a scan boundary it takes a 64x
+    # lane-padded layout (a 5-min capture tried to allocate 78 GB).
+    rows_need = -(-(2 * n_win) // 128) + 2
+    raw2 = jnp.pad(raw, (0, (-raw.shape[0]) % 128 + rows_need * 128)) \
+        .reshape(-1, 128)
+    sh = jnp.moveaxis(starts_hl.reshape(2, -1, group), 1, 0)
+
+    def gather_one(s0):
+        # sample s0 -> byte 128*(s0//64) + 2*(s0%64), two-level to stay
+        # inside int32 on multi-GB captures
+        q = s0 // 64
+        r = 2 * (s0 % 64)
+        block = jax.lax.dynamic_slice(
+            raw2, (q, jnp.int32(0)), (rows_need, 128)).reshape(-1)
+        return jax.lax.dynamic_slice(block, (r,), (2 * n_win,))
+
+    from ..ops import unpack
+
+    def step(_, hl):
+        starts = (hl[0].astype(jnp.int32) * 4096
+                  + hl[1].astype(jnp.int32))
+        win_bytes = jax.vmap(gather_one)(starts)
+        batch = unpack.iq_u8_to_complex(win_bytes, jnp.float32)
+        met = _accurate_fast_core(batch, nj, offset_fs, use_norm,
+                                  ln, wiggle)
+        return 0, met
+
+    _, mets = jax.lax.scan(step, 0, sh)
+    return mets
 
 
 @partial(jax.jit, static_argnums=(2, 3))

@@ -143,8 +143,13 @@ def test_accurate_sync_fast_path_matches_generic(decoded, monkeypatch):
 
 def test_accurate_sync_resident_gather(decoded):
     """Resident sources gather accurate-sync windows straight from HBM
-    bytes (_gather_iq_windows); results must equal the host-read path on
-    the byte-identical capture."""
+    bytes and reduce ALL of them in one dispatch per needle
+    (_accurate_fast_resident_all); detections must agree with the
+    host-read path on the byte-identical capture to within one sample.
+    (Bit-equality is not promised across the two: the scan-wrapped program
+    factors its batched FFTs differently enough to move a flat argmax by
+    one sample — 0.5 us at full rate; round-5 finding, docs/experiments.md.)
+    """
     from directdemod_tpu.io.sources import DeviceRawSource
     dec, _ = decoded
     ref = dec.get_accurate_sync(use_norm_correlate=True)
@@ -156,5 +161,8 @@ def test_accurate_sync_resident_gather(decoded):
     src = DeviceRawSource.from_host_bytes(raw, FS)
     dec2 = NoaaDecoder(src, 30000, dtype=jnp.complex64)
     got = dec2.get_accurate_sync(use_norm_correlate=True)
-    assert got[0] == ref[0] and got[4] == ref[4]       # detections A/B
-    assert np.allclose(got[2], ref[2], rtol=1e-5)      # quality
+    for gi, ri in ((0, 0), (4, 4)):                    # detections A/B
+        assert len(got[gi]) == len(ref[ri])
+        assert np.max(np.abs(np.asarray(got[gi])
+                             - np.asarray(ref[ri]))) <= 1
+    assert np.allclose(got[2], ref[2], rtol=1e-4)      # quality
