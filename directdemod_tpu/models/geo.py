@@ -73,20 +73,41 @@ def parse_tle(path: str) -> dict:
     with open(path) as f:
         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
     i = 0
-    while i + 3 <= len(lines):
-        name, l1, l2 = lines[i], lines[i + 1], lines[i + 2]
+    while i < len(lines):
+        # bare 2-line entries (no name line) are valid TLE files that
+        # pyorbital accepts; key them by catalog number (ADVICE r04)
+        if lines[i].startswith("1 "):
+            name = ""
+            l1, l2 = lines[i], lines[i + 1] if i + 1 < len(lines) else ""
+            step = 2
+        else:
+            if i + 2 >= len(lines):
+                raise ValueError(
+                    f"{path}: truncated TLE entry at line {i + 1}")
+            name, l1, l2 = lines[i], lines[i + 1], lines[i + 2]
+            step = 3
         if not (l1.startswith("1 ") and l2.startswith("2 ")):
             raise ValueError(f"{path}: malformed TLE entry at line {i + 1}")
         for ln in (l1, l2):
             if len(ln) < 69:
                 raise ValueError(f"{path}: TLE line too short: {ln!r}")
             if int(ln[68]) != _cksum(ln):
-                raise ValueError(f"{path}: TLE checksum mismatch: {ln!r}")
+                # pyorbital tolerates checksum deviations; a hard failure
+                # here aborted overlays that previously rendered (ADVICE
+                # r04) — warn, keep structural errors fatal
+                log.warning("%s: TLE checksum mismatch (tolerated): %r",
+                            path, ln)
         if l1[2:7] != l2[2:7]:
             raise ValueError(f"{path}: catalog numbers differ: "
                              f"{l1[2:7]} vs {l2[2:7]}")
-        out[name.strip()] = (l1, l2)
-        i += 3
+        # 3LE name lines carry a leading '0 ' (ADVICE r04)
+        name = name.strip()
+        if name.startswith("0 "):
+            name = name[2:].strip()
+        out[name or l1[2:7]] = (l1, l2)
+        i += step
+    if i != len(lines):
+        raise ValueError(f"{path}: truncated TLE entry at line {i + 1}")
     if not out:
         raise ValueError(f"{path}: no TLE entries found")
     return out

@@ -109,8 +109,11 @@ def _u32_to_u8(words, n: int):
 _U8_CONVERT_CHUNK = 64 * (1 << 20)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _u32_to_u8_slice(words, off_w: int, n_bytes: int):
+@partial(jax.jit, static_argnums=(2,))
+def _u32_to_u8_slice(words, off_w, n_bytes: int):
+    # off_w rides TRACED so equal-size chunks share one compiled program
+    # (static offsets compiled ~19 fresh programs for a 1.23 GB capture —
+    # ADVICE r04); only the chunk size stays static
     return _u32_to_u8(lax.dynamic_slice(words, (off_w,),
                                         (n_bytes // 4,)), n_bytes)
 
@@ -139,7 +142,7 @@ def device_put_u8(raw: np.ndarray, sharding=None):
         parts = []
         for off in range(0, raw.shape[0], _U8_CONVERT_CHUNK):
             nb = min(_U8_CONVERT_CHUNK, raw.shape[0] - off)
-            parts.append(_u32_to_u8_slice(wd, off // 4, nb))
+            parts.append(_u32_to_u8_slice(wd, jnp.int32(off // 4), nb))
         out = jnp.concatenate(parts)
         return out[:n] if out.shape[0] != n else out
     return jax.jit(_u32_to_u8, static_argnums=(1,))(jnp.asarray(words), n)

@@ -168,10 +168,11 @@ def test_parse_tle_rejects_corruption(tmp_path):
     p = tmp_path / "t.txt"
     p.write_text(good)
     assert "NOAA 18" in geo.parse_tle(str(p))
-    # flip a digit -> checksum must catch it
+    # flip a digit -> checksum warns but parses (pyorbital tolerates
+    # checksum deviations; hard-failing aborted working overlays, ADVICE
+    # r04 — structural errors below stay fatal)
     p.write_text(good.replace("98.8500", "98.8600"))
-    with pytest.raises(ValueError, match="checksum"):
-        geo.parse_tle(str(p))
+    assert "NOAA 18" in geo.parse_tle(str(p))
     # truncated file
     p.write_text(good[: len(good) // 2])
     with pytest.raises(ValueError):
@@ -179,3 +180,47 @@ def test_parse_tle_rejects_corruption(tmp_path):
     p.write_text(good)
     with pytest.raises(KeyError):
         geo.select_tle(str(p), "METEOR M2")
+
+
+def test_parse_tle_3le_and_bare_formats(tmp_path):
+    """3LE '0 NAME' lines and bare 2-line files parse (pyorbital accepts
+    both; hard-failing them aborted previously-working overlays — ADVICE
+    r04)."""
+    from directdemod_tpu.models import geo
+    good = open("tle/noaa18_synthetic.txt").read().strip().splitlines()
+    name, l1, l2 = good[0], good[1], good[2]
+    p3 = tmp_path / "three.tle"
+    p3.write_text(f"0 {name}\n{l1}\n{l2}\n")
+    tles = geo.parse_tle(str(p3))
+    assert name.strip() in tles
+    p2 = tmp_path / "bare.tle"
+    p2.write_text(f"{l1}\n{l2}\n")
+    tles = geo.parse_tle(str(p2))
+    assert l1[2:7] in tles
+
+
+def test_parse_tle_checksum_warns_not_fails(tmp_path, caplog):
+    from directdemod_tpu.models import geo
+    good = open("tle/noaa18_synthetic.txt").read().strip().splitlines()
+    name, l1, l2 = good[0], good[1], good[2]
+    bad1 = l1[:68] + str((int(l1[68]) + 1) % 10)
+    p = tmp_path / "ck.tle"
+    p.write_text(f"{name}\n{bad1}\n{l2}\n")
+    import logging
+    with caplog.at_level(logging.WARNING):
+        tles = geo.parse_tle(str(p))
+    assert name.strip() in tles
+    assert any("checksum" in r.message for r in caplog.records)
+
+
+def test_parse_tle_trailing_truncated_entry_raises(tmp_path):
+    """A trailing name+line1 fragment must be a clear error, not silently
+    dropped (ADVICE r04)."""
+    from directdemod_tpu.models import geo
+    import pytest
+    good = open("tle/noaa18_synthetic.txt").read().strip().splitlines()
+    name, l1, l2 = good[0], good[1], good[2]
+    p = tmp_path / "trunc.tle"
+    p.write_text(f"{name}\n{l1}\n{l2}\nLEFTOVER SAT\n{l1}\n")
+    with pytest.raises(ValueError, match="truncated"):
+        geo.parse_tle(str(p))
