@@ -44,7 +44,6 @@ def comm_table(chunk: int):
     """Cross-shard traffic per wave of the production decode, from the
     program constants (parallel/sharded.py, parallel/correlate.py,
     parallel/iir.py)."""
-    import numpy as np
     from directdemod_tpu.ops import resample as rs
     j, _ = rs.decim_params(FS, 60000)
     halo = TAPS - 1 + j
