@@ -199,3 +199,32 @@ def test_cli_resident_capacity_fallback(noaa_wav, tmp_path, monkeypatch):
     ch = json.load(open(rep))["channels"][0]
     assert ch["usefulness"] == 1 and ch["resident"] is False
     assert os.path.exists(out + ".png")
+
+
+def test_cli_funcube_resident_segments(tmp_path):
+    """--resident composes with --segments on the PSK path: the uploaded
+    DeviceRawSource feeds the whole-capture fast path and the syncs match
+    the file-fed decode."""
+    from directdemod_tpu import constants as K
+    from tests.test_psk_sync import _bpsk_capture
+    spacing = K.FUNCUBE_FRAME_SPACING_S
+    cap = _bpsk_capture([2.0, 2.0 + spacing], dur_s=2.0 + spacing + 1.2)
+    path = str(tmp_path / "SDRSharp_20170830_073907Z_145940000Hz_IQ.dat")
+    u8 = np.empty(2 * len(cap), np.uint8)
+    u8[0::2] = np.clip(np.round(cap.real + 127.5), 0, 255).astype(np.uint8)
+    u8[1::2] = np.clip(np.round(cap.imag + 127.5), 0, 255).astype(np.uint8)
+    u8.tofile(path)
+
+    outs, reports = [], []
+    for i, extra in enumerate(([], ["--resident"])):
+        out = str(tmp_path / f"fc{i}")
+        rep = str(tmp_path / f"r{i}.json")
+        rc = cli.main(["-c", "145940000", "-f", "145945000", "-d", "funcube",
+                       "--segments", "4", "-o", out, "-r", rep]
+                      + extra + [path])
+        assert rc == 0
+        outs.append(open(out + ".csv").read())
+        reports.append(json.load(open(rep))["channels"][0])
+    assert reports[0]["usefulness"] == reports[1]["usefulness"] == 1
+    assert reports[1]["resident"] is True
+    assert outs[0] == outs[1]                  # identical sync csv
